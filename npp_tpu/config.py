@@ -1,0 +1,161 @@
+"""Typed configuration for the NPP-TPU framework.
+
+Mirrors the reference's four configargparse parser builders
+(reference: options/arg_config.py:4-300) as frozen dataclasses with identical
+defaults, including the per-task differences (loss toggles, weights, iteration
+budgets). A thin CLI layer in `npp_tpu.cli` maps flags onto these dataclasses.
+
+Design note (TPU-first): everything that affects compiled shapes (N_rand,
+patch_num, patch sizes, netdepth/width, top-K) lives here as static Python
+values so that a fit step compiles once per (image bucket, patch-size stage).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class BaseConfig:
+    """Shared options (reference: options/arg_config.py:4-38)."""
+
+    lrate: float = 5e-4
+    lrate_decay: int = 500           # exponential decay horizon, in 1000s of steps
+    chunk: int = 1024 * 32           # eval-time pixel chunk (kept for API parity; the
+                                     # TPU path renders whole images in one jit call)
+    netchunk: int = 1024 * 4096      # reference network chunking; unused under XLA
+    freq_scales: Tuple[float, ...] = (1,)
+    freq_offsets: Tuple[float, ...] = (0, -1, 1, 0.5, -0.5)
+    angle_offsets: Tuple[float, ...] = (0,)
+    i_embed: int = 0                 # 0: positional encoding, -1: identity
+    multires: int = 10               # number of Fourier frequency bands
+    activation: str = "snake"        # 'snake' | 'relu'
+    normalize_type: int = 1          # 1: sigmoid -> [0,1]; 2: tanh -> [-1,1]
+    loss_type: str = "robust_loss_adaptive"  # | 'l2' | 'robust_loss'
+    seed: int = 0
+    # TPU-specific knobs (no reference equivalent)
+    matmul_precision: str = "default"   # 'default' | 'float32' | 'bfloat16'
+    feature_dtype: str = "float32"      # dtype for pretrained conv towers
+
+
+@dataclass(frozen=True)
+class FitConfig(BaseConfig):
+    """Shared per-image fit options (completion defaults;
+    reference: options/arg_config.py:43-103)."""
+
+    expname: str = "completion"
+    basedir: str = "./results"
+    datadir: str = ""
+
+    netdepth: int = 8
+    netwidth: int = 512
+    N_rand: int = 32 * 32 * 8
+    patch_num: int = 2
+    num_real_patch_per_sample: int = 3
+    patch_size_decay: int = 2000
+    invalid_as_unknown: bool = False
+    p_topk: int = 3
+    invalid_ratio: float = 0.3
+
+    use_adaptive_perceptual_loss: bool = True
+    no_pix_loss: bool = False
+    no_reg_sampling: bool = False
+    use_contextual_loss: bool = True
+    use_perceptual_loss: bool = True
+    use_comp: bool = True
+    use_patch_weight: bool = False
+
+    contextual_weight: float = 0.001
+    perceptual_weight: float = 0.001
+
+    N_iters: int = 2001
+    i_print: int = 500
+    i_testset: int = 500
+
+    # filled by the loader from detected periodicity
+    # (reference: loaders/loaders.py:130-134)
+    patch_size: int = 160
+
+
+@dataclass(frozen=True)
+class CompletionConfig(FitConfig):
+    """reference: options/arg_config.py:43-103."""
+
+
+@dataclass(frozen=True)
+class SearchConfig(BaseConfig):
+    """Periodicity proposal + ranking (reference: options/arg_config.py:105-146)."""
+
+    datadir: str = ""
+    outdir: str = "data/completion/detected"
+    netdepth: int = 4
+    netwidth: int = 256
+    N_rand: int = 32 * 32 * 2
+    gray_only: bool = False       # store_false flag default-on semantics inverted:
+                                  # reference default uses conv features + gray
+    edge_searching: bool = False
+    topk_detection: int = 10
+    search_range: Tuple[int, int, int] = (1, 10, 1)
+    contextual_weight: float = 1.0
+    perceptual_weight: float = 30.0
+    N_iters: int = 300
+
+
+@dataclass(frozen=True)
+class SegmentationConfig(FitConfig):
+    """reference: options/arg_config.py:151-225."""
+
+    expname: str = "segmentation"
+    use_perceptual_loss: bool = False     # store_true in reference (:190)
+    contextual_weight: float = 0.005
+    perceptual_weight: float = 0.001
+    N_iters: int = 601
+    i_testset: int = 600
+
+    nb_classes: int = 3
+    sp_size: int = 20
+    sp_regul: float = 0.1
+
+    l1_thresh: float = 0.15
+    lpips_thresh: float = 0.3
+    lpips_layers: int = 1
+
+
+@dataclass(frozen=True)
+class RemappingConfig(FitConfig):
+    """reference: options/arg_config.py:231-300."""
+
+    expname: str = "remapping"
+    use_perceptual_loss: bool = False     # store_true in reference (:274)
+    use_style_loss: bool = True
+    use_adaptive_style_loss: bool = True
+    contextual_weight: float = 0.01
+    perceptual_weight: float = 0.001
+    style_weight: float = 1.0
+    N_iters: int = 2801
+    i_testset: int = 400
+
+    blur_thresh: float = 50.0
+
+
+def replace(cfg, **kwargs):
+    """Functional update helper (dataclasses.replace re-export)."""
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def nerf_embed_dim(cfg: BaseConfig, input_dims: int, include_input: bool = True) -> int:
+    """Output dim of the Fourier encoder per `input_dims` input channels."""
+    if cfg.i_embed == -1:
+        return input_dims
+    d = input_dims if include_input else 0
+    return d + input_dims * cfg.multires * 2
+
+
+def periodic_embed_dim(cfg: BaseConfig, include_input: bool) -> int:
+    """Output dim of one proposal's periodicity warp
+    (reference: models/embedder.py:102-138: 2 orientations x scales x offsets
+    x angle_offsets x {sin, cos} [+ 2 raw coords])."""
+    base = 2 if include_input else 0
+    per = len(cfg.freq_scales) * len(cfg.freq_offsets) * len(cfg.angle_offsets) * 2 * 2
+    return base + per
