@@ -1,0 +1,100 @@
+"""Contextual (CX) loss in JAX, NHWC.
+
+Functional port of the cosine-distance contextual loss
+(reference: externel_lib/contextual_loss/functional.py:9-63,127-186 and
+modules/contextual.py:9-68). Only the VGG19/relu3_4 path the reference
+exercises is kept; the CoBi bilateral variant is dead code there
+(SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..nn.features import (VGG19_BLOCKS, VGG19_CX_TAP, VGGFeatures,
+                           imagenet_normalize)
+from ..nn.pretrained import load_tower_params
+
+
+def compute_cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """x, y: (N, H, W, C) -> dist (N, HW_x, HW_y)
+    (reference: functional.py:127-163)."""
+    # mean-shift by channel-wise mean of y over batch+space
+    y_mu = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+    xc = x - y_mu
+    yc = y - y_mu
+    xn = xc / (jnp.linalg.norm(xc, axis=-1, keepdims=True) + 1e-12)
+    yn = yc / (jnp.linalg.norm(yc, axis=-1, keepdims=True) + 1e-12)
+    n, h, w, c = x.shape
+    xm = xn.reshape(n, h * w, c)
+    ym = yn.reshape(n, h * w, c)
+    sim = jnp.einsum('npc,nqc->npq', xm, ym)
+    sim = jnp.clip(sim, 0.0, 1.0)
+    return 1.0 - sim
+
+
+def compute_l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(reference: functional.py:166-186), NHWC inputs."""
+    n, h, w, c = x.shape
+    xv = x.reshape(n, h * w, c)
+    yv = y.reshape(n, h * w, c)
+    x_s = jnp.sum(xv ** 2, axis=-1)  # (N, P)
+    y_s = jnp.sum(yv ** 2, axis=-1)
+    ab = jnp.einsum('npc,nqc->npq', xv, yv)
+    dist = y_s[:, None, :] - 2 * ab + x_s[:, :, None]
+    dist = jnp.maximum(dist, 0.0) / (c + 1e-8)
+    return dist
+
+
+def compute_relative_distance(dist_raw: jnp.ndarray) -> jnp.ndarray:
+    dist_min = jnp.min(dist_raw, axis=2, keepdims=True)
+    return dist_raw / (dist_min + 1e-5)
+
+
+def compute_cx(dist_tilde: jnp.ndarray, band_width: float) -> jnp.ndarray:
+    w = jnp.exp((1.0 - dist_tilde) / band_width)
+    return w / jnp.sum(w, axis=2, keepdims=True)
+
+
+def contextual_loss(x: jnp.ndarray, y: jnp.ndarray, band_width: float = 0.5,
+                    weight: Optional[jnp.ndarray] = None,
+                    loss_type: str = 'cosine') -> jnp.ndarray:
+    """CX loss on feature maps (NHWC) (reference: functional.py:9-63)."""
+    if loss_type == 'cosine':
+        dist_raw = compute_cosine_distance(x, y)
+    elif loss_type == 'l2':
+        dist_raw = compute_l2_distance(x, y)
+    else:
+        raise ValueError(f'unsupported loss_type {loss_type!r}')
+    dist_tilde = compute_relative_distance(dist_raw)
+    cx = compute_cx(dist_tilde, band_width)
+    cx = jnp.mean(jnp.max(cx, axis=1), axis=1)  # (N,)
+    if weight is not None:
+        cx = cx * weight
+        return jnp.sum(-jnp.log(cx + 1e-5))
+    return jnp.mean(-jnp.log(cx + 1e-5))
+
+
+class ContextualLoss:
+    """VGG19 relu3_4 contextual loss on [0,1] NHWC images
+    (reference: modules/contextual.py:25-68)."""
+
+    def __init__(self, band_width: float = 0.5, use_vgg: bool = True,
+                 vgg_layer: str = VGG19_CX_TAP, dtype=jnp.float32):
+        self.band_width = band_width
+        self.use_vgg = use_vgg
+        self.vgg_layer = vgg_layer
+        if use_vgg:
+            self.module = VGGFeatures(blocks=VGG19_BLOCKS, dtype=dtype)
+            self.params = load_tower_params('vgg19', self.module,
+                                            jnp.zeros((1, 64, 64, 3)))
+
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray,
+                 weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self.use_vgg:
+            x = self.module.apply({'params': self.params},
+                                  imagenet_normalize(x))[self.vgg_layer]
+            y = self.module.apply({'params': self.params},
+                                  imagenet_normalize(y))[self.vgg_layer]
+        return contextual_loss(x, y, self.band_width, weight)

@@ -1,0 +1,122 @@
+"""Weight registry for the pretrained conv towers.
+
+The reference relies on torchvision's downloaded ImageNet checkpoints
+(VGG16/VGG19/AlexNet) plus a local `alexnet-owt-4df8aa71.pth`
+(reference: models/alexnet.py:50-55, README.md:36-38). This environment has
+no torchvision and no network egress, so weights resolve in this order:
+
+ 1. `npp_tpu/assets/<name>.npz`            (converted, committed or user-made)
+ 2. `$NPP_TPU_WEIGHTS_DIR/<name>.npz`      (user-supplied directory)
+ 3. `$NPP_TPU_TORCH_WEIGHTS/<name>.pth`    (converted on the fly via torch)
+ 4. deterministic fallback init            (fixed per-name seed, flagged)
+
+The fallback keeps every pipeline runnable: random conv filters still yield
+usable signals for periodicity search (any linear filter preserves lattice
+structure) and for relative perceptual comparisons, but absolute LPIPS values
+will NOT match the published metric. `WeightReport` records which path was
+taken so callers/logs can surface it. `scripts/convert_torch_weights.py`
+produces the .npz files from torchvision checkpoints offline.
+
+Known names: alexnet_owt, alexnet_tv, vgg16, vgg19,
+             lpips_lin_vgg, lpips_lin_alex, lpips_lin_squeeze.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), 'assets')
+
+
+@dataclass
+class WeightReport:
+    name: str
+    source: str   # 'asset' | 'weights_dir' | 'torch' | 'random'
+
+    @property
+    def pretrained(self) -> bool:
+        return self.source != 'random'
+
+
+_REPORTS: Dict[str, WeightReport] = {}
+
+
+def weight_reports() -> Dict[str, WeightReport]:
+    return dict(_REPORTS)
+
+
+def _find_npz(name: str) -> Optional[str]:
+    cands = [os.path.join(ASSET_DIR, f'{name}.npz')]
+    wd = os.environ.get('NPP_TPU_WEIGHTS_DIR')
+    if wd:
+        cands.append(os.path.join(wd, f'{name}.npz'))
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _torch_convert(name: str) -> Optional[Dict[str, np.ndarray]]:
+    td = os.environ.get('NPP_TPU_TORCH_WEIGHTS')
+    if not td:
+        return None
+    path = os.path.join(td, f'{name}.pth')
+    if not os.path.exists(path):
+        return None
+    from ..utils.torch_convert import convert_state_dict  # lazy: torch import
+    return convert_state_dict(name, path)
+
+
+def _flat_to_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """'conv0/kernel' -> {'conv0': {'kernel': arr}}."""
+    tree: Dict[str, Any] = {}
+    for k, v in flat.items():
+        parts = k.split('/')
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
+def load_tower_params(name: str, module, example_input) -> Dict[str, Any]:
+    """Resolve a conv tower's params: converted weights if available, else a
+    deterministic fallback init. Returns a flax 'params' tree."""
+    flat = None
+    src = 'random'
+    npz = _find_npz(name)
+    if npz is not None:
+        with np.load(npz) as f:
+            flat = {k: f[k] for k in f.files}
+        src = 'asset' if npz.startswith(ASSET_DIR) else 'weights_dir'
+    else:
+        converted = _torch_convert(name)
+        if converted is not None:
+            flat = converted
+            src = 'torch'
+
+    if flat is not None:
+        params = _flat_to_tree(flat)
+    else:
+        seed = int.from_bytes(name.encode()[:4].ljust(4, b'\0'), 'little')
+        params = module.init(jax.random.PRNGKey(seed), example_input)['params']
+    _REPORTS[name] = WeightReport(name, src)
+    return params
+
+
+def load_lpips_lins(net: str = 'vgg') -> Optional[Dict[str, jnp.ndarray]]:
+    """LPIPS linear calibration heads (converted from
+    externel_lib/lpips/weights/v0.1/<net>.pth; shapes (C,) per layer)."""
+    npz = _find_npz(f'lpips_lin_{net}')
+    if npz is None:
+        _REPORTS[f'lpips_lin_{net}'] = WeightReport(f'lpips_lin_{net}', 'random')
+        return None
+    with np.load(npz) as f:
+        out = {k: jnp.asarray(f[k]) for k in f.files}
+    _REPORTS[f'lpips_lin_{net}'] = WeightReport(f'lpips_lin_{net}', 'asset')
+    return out

@@ -1,0 +1,142 @@
+"""Feature-tower semantics (vs torch conv/pool ground truth) and patch-loss
+behaviour tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_flax_conv_matches_torch_padding():
+    """nn.Conv(padding=int) must equal torch Conv2d same-padding semantics."""
+    import torch
+    import torch.nn.functional as F
+    import flax.linen as nn
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 13, 17, 3).astype(np.float32)
+    w = rng.randn(11, 11, 3, 8).astype(np.float32) * 0.05  # HWIO
+    b = rng.randn(8).astype(np.float32)
+
+    conv = nn.Conv(8, (11, 11), strides=(4, 4), padding=5)
+    out = conv.apply({'params': {'kernel': jnp.asarray(w), 'bias': jnp.asarray(b)}},
+                     jnp.asarray(x))
+
+    xt = torch.tensor(x).permute(0, 3, 1, 2)
+    wt = torch.tensor(w).permute(3, 2, 0, 1)  # OIHW
+    ot = F.conv2d(xt, wt, torch.tensor(b), stride=4, padding=5)
+    ot = ot.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ot, rtol=1e-4, atol=1e-4)
+
+
+def test_flax_maxpool_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    import flax.linen as nn
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 15, 19, 4).astype(np.float32)
+    # torch MaxPool2d(3, 2, padding=1) vs flax pads with -inf: for positive and
+    # negative values the semantics agree because torch pads with -inf too.
+    out = nn.max_pool(jnp.asarray(x), (3, 3), strides=(2, 2),
+                      padding=((1, 1), (1, 1)))
+    ot = F.max_pool2d(torch.tensor(x).permute(0, 3, 1, 2), 3, 2, padding=1)
+    ot = ot.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ot, rtol=1e-6)
+
+
+def test_tower_shapes():
+    from npp_tpu.nn.features import AlexNetFeatures, VGGFeatures, VGG16_BLOCKS
+
+    alex = AlexNetFeatures(owt=True)
+    p = alex.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    outs = alex.apply(p, jnp.zeros((1, 64, 96, 3)))
+    # conv1 stride 4, padding 5 on k=11: out = floor((64+10-11)/4)+1 = 16
+    assert outs['conv1'].shape == (1, 16, 24, 64)
+
+    vgg = VGGFeatures(blocks=VGG16_BLOCKS)
+    p = vgg.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    outs = vgg.apply(p, jnp.zeros((1, 64, 64, 3)))
+    assert outs['relu3_3'].shape == (1, 16, 16, 256)
+    assert outs['pool3'].shape == (1, 8, 8, 256)
+    assert outs['relu5_3'].shape == (1, 4, 4, 512)
+
+
+@pytest.fixture(scope='module')
+def imgs():
+    rng = np.random.RandomState(0)
+    a = rng.rand(2, 32, 32, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(2, 32, 32, 3).astype(np.float32) * 0.2, 0, 1)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+def test_lpips_identity_and_order(imgs):
+    from npp_tpu.losses.lpips import LPIPS
+    a, b = imgs
+    lp = LPIPS(net='vgg')
+    same = lp(a, a, normalize=True)
+    diff = lp(a, b, normalize=True)
+    assert same.shape == (2, 1, 1, 1)
+    assert float(jnp.max(same)) < 1e-5
+    assert float(jnp.min(diff)) > float(jnp.max(same))
+
+
+def test_lpips_spatial_mode(imgs):
+    from npp_tpu.losses.lpips import LPIPS
+    a, b = imgs
+    lp = LPIPS(net='alex')
+    val, per_layer = lp(a, b, normalize=True, spatial=True, ret_per_layer=True)
+    assert val.shape == (2, 32, 32, 1)
+    assert len(per_layer) == 5
+
+
+def test_lpips_robust_grads(imgs):
+    from npp_tpu.losses.lpips import LPIPS
+    a, b = imgs
+    lp = LPIPS(net='vgg')
+    ad = lp.init_adaptive()
+
+    def f(ad):
+        return jnp.mean(lp(a, b, use_robust=True, adaptive=ad, normalize=True))
+
+    val, g = jax.value_and_grad(f)(ad)
+    assert np.isfinite(float(val))
+    flat = jax.tree.leaves(g)
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in flat)
+
+
+def test_contextual_loss_orders_similarity(imgs):
+    from npp_tpu.losses.contextual import ContextualLoss
+    a, b = imgs
+    cx = ContextualLoss(use_vgg=True)
+    same = float(cx(a, a))
+    diff = float(cx(a, b))
+    assert same < diff
+
+
+def test_contextual_weighted_matches_reference_semantics(imgs):
+    from npp_tpu.losses.contextual import contextual_loss
+    a, b = imgs
+    w = jnp.asarray([0.5, 0.5])
+    out = contextual_loss(a, b, weight=w)
+    assert np.isfinite(float(out))
+
+
+def test_style_loss_zero_on_identical(imgs):
+    from npp_tpu.losses.style import StyleLoss
+    a, b = imgs
+    sl = StyleLoss(use_adaptive=False)
+    assert float(sl(a, a)) < 1e-6
+    assert float(sl(a, b)) > 0
+
+
+def test_style_loss_adaptive(imgs):
+    from npp_tpu.losses.style import StyleLoss
+    a, b = imgs
+    sl = StyleLoss(use_adaptive=True)
+    ad = sl.init_adaptive()
+
+    def f(ad):
+        return sl(a, b, adaptive=ad)
+
+    val, g = jax.value_and_grad(f)(ad)
+    assert np.isfinite(float(val))
