@@ -6,3 +6,19 @@ Rebuilt from scratch for JAX/XLA/Pallas/pjit; capability reference:
 github.com/ArmastusChen/Learning-Continuous-Implicit-Representation-for-Near-Periodic-Patterns
 """
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled executables across processes. The per-image fit
+    compiles a handful of large programs (fit step per patch-size stage,
+    renderer, ranking scan); caching makes every run after the first start in
+    seconds instead of minutes."""
+    import jax
+
+    path = path or _os.environ.get(
+        "NPP_TPU_CACHE_DIR", _os.path.expanduser("~/.cache/npp_tpu_jax"))
+    _os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

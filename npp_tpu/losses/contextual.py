@@ -59,8 +59,14 @@ def compute_cx(dist_tilde: jnp.ndarray, band_width: float) -> jnp.ndarray:
 
 def contextual_loss(x: jnp.ndarray, y: jnp.ndarray, band_width: float = 0.5,
                     weight: Optional[jnp.ndarray] = None,
-                    loss_type: str = 'cosine') -> jnp.ndarray:
-    """CX loss on feature maps (NHWC) (reference: functional.py:9-63)."""
+                    loss_type: str = 'cosine',
+                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """CX loss on feature maps (NHWC) (reference: functional.py:9-63).
+
+    valid: optional (N,) bool — static-shape replacement for the reference's
+    ragged patch drops: invalid samples contribute 0 and the unweighted
+    aggregation becomes a masked mean over the survivors.
+    """
     if loss_type == 'cosine':
         dist_raw = compute_cosine_distance(x, y)
     elif loss_type == 'l2':
@@ -71,9 +77,15 @@ def contextual_loss(x: jnp.ndarray, y: jnp.ndarray, band_width: float = 0.5,
     cx = compute_cx(dist_tilde, band_width)
     cx = jnp.mean(jnp.max(cx, axis=1), axis=1)  # (N,)
     if weight is not None:
-        cx = cx * weight
-        return jnp.sum(-jnp.log(cx + 1e-5))
-    return jnp.mean(-jnp.log(cx + 1e-5))
+        term = -jnp.log(cx * weight + 1e-5)
+        if valid is not None:
+            term = term * valid
+        return jnp.sum(term)
+    term = -jnp.log(cx + 1e-5)
+    if valid is not None:
+        v = valid.astype(term.dtype)
+        return jnp.sum(term * v) / jnp.maximum(jnp.sum(v), 1.0)
+    return jnp.mean(term)
 
 
 class ContextualLoss:
@@ -91,10 +103,11 @@ class ContextualLoss:
                                             jnp.zeros((1, 64, 64, 3)))
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray,
-                 weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 weight: Optional[jnp.ndarray] = None,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if self.use_vgg:
             x = self.module.apply({'params': self.params},
                                   imagenet_normalize(x))[self.vgg_layer]
             y = self.module.apply({'params': self.params},
                                   imagenet_normalize(y))[self.vgg_layer]
-        return contextual_loss(x, y, self.band_width, weight)
+        return contextual_loss(x, y, self.band_width, weight, valid=valid)

@@ -36,10 +36,11 @@ class StyleLoss:
 
     def __call__(self, a_img: jnp.ndarray, b_img: jnp.ndarray,
                  weight: Optional[jnp.ndarray] = None,
-                 adaptive: Optional[Tuple[AdaptiveLossParams, ...]] = None
-                 ) -> jnp.ndarray:
+                 adaptive: Optional[Tuple[AdaptiveLossParams, ...]] = None,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         a_feats = self.features(a_img)
         b_feats = self.features(b_img)
+        v = None if valid is None else valid.astype(jnp.float32)
         loss = 0.0
         for i, (fa, fb) in enumerate(zip(a_feats, b_feats)):
             n, h, w, c = fa.shape
@@ -48,15 +49,25 @@ class StyleLoss:
             ga = jnp.einsum('ncp,ndp->ncd', av, av)
             gb = jnp.einsum('ncp,ndp->ncd', bv, bv)
             denom = c * h * w
+
+            def agg(per_sample):
+                if weight is not None:
+                    t = per_sample * weight
+                    if v is not None:
+                        t = t * v
+                    return jnp.sum(t)
+                if v is not None:
+                    return jnp.sum(per_sample * v) / jnp.maximum(jnp.sum(v), 1.0)
+                return jnp.mean(per_sample)
+
             if not self.use_adaptive:
-                loss = loss + jnp.mean(jnp.abs(ga - gb) / denom)
+                per = jnp.mean(jnp.abs(ga - gb) / denom, axis=(1, 2))
+                loss = loss + agg(per)
             else:
                 if adaptive is None:
                     raise ValueError('use_adaptive requires adaptive params')
                 resid = (ga - gb).reshape(n, c * c)
-                per = adaptive_lossfun(resid, adaptive[i]) / denom
-                if weight is None:
-                    loss = loss + jnp.mean(per)
-                else:
-                    loss = loss + jnp.sum(jnp.mean(per, axis=-1) * weight)
+                per = jnp.mean(adaptive_lossfun(resid, adaptive[i]) / denom,
+                               axis=-1)
+                loss = loss + agg(per)
         return loss

@@ -1,0 +1,127 @@
+"""Task data loaders (reference: loaders/loaders.py:82-304).
+
+Host-side numpy preprocessing; outputs are plain arrays + metadata consumed by
+the pipelines. The proposal loader lives in npp_tpu.proposal (it invokes the
+displacement search).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from ..utils.io import patch_size_from_periods, read_odgt, read_gray, read_rgb
+
+
+@dataclasses.dataclass
+class TaskData:
+    img: np.ndarray            # (H, W, 3) gt image
+    masked_img: np.ndarray     # (H, W, 3) input (masked) image
+    mask: np.ndarray           # (H, W, 1) known mask (1 = known)
+    valid_mask: np.ndarray     # (H, W, 1)
+    i_train: np.ndarray        # (Nt, 2) int coords
+    i_val: np.ndarray          # (Nv, 2)
+    selected_shifts: List      # top-K [(x,y),(x,y)]
+    selected_angles: List      # top-K [a1, a2]
+    selected_periods: List     # top-K [p1, p2]
+    patch_size: int
+    extra: dict = dataclasses.field(default_factory=dict)
+
+
+def _topk_periodicity(info: dict, p_topk: int):
+    return (info['selected_shifts'][:p_topk], info['selected_angles'][:p_topk],
+            info['selected_periods'][:p_topk])
+
+
+def load_completion(cfg) -> TaskData:
+    """reference: loaders.py:82-136."""
+    info = read_odgt(cfg.datadir)
+    masked_img = read_rgb(info['fpath_masked_img'])
+    img = read_rgb(info['fpath_gt_img'])
+    valid_mask = read_gray(info['fpath_valid_mask'])
+    mask = read_gray(info['fpath_mask'])
+
+    mask = mask * valid_mask
+    if cfg.invalid_as_unknown:
+        valid_mask = np.ones_like(valid_mask)
+
+    train = np.stack(np.nonzero((mask * valid_mask)[..., 0]), 1)
+    val = np.stack(np.nonzero(((1 - mask) * valid_mask)[..., 0]), 1)
+
+    if cfg.normalize_type == 2:
+        img = (img - 0.5) * 2
+
+    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
+    return TaskData(img=img, masked_img=masked_img, mask=mask,
+                    valid_mask=valid_mask, i_train=train, i_val=val,
+                    selected_shifts=shifts, selected_angles=angles,
+                    selected_periods=periods,
+                    patch_size=patch_size_from_periods(periods))
+
+
+def load_remapping(cfg) -> TaskData:
+    """reference: loaders.py:244-304. `mask` carries the clear mask
+    (weighting for the pixel loss); train = all valid pixels,
+    val = clear & valid."""
+    from ..ops.blur import blur_map
+
+    info = read_odgt(cfg.datadir)
+    img = read_rgb(info['fpath_gt_img'])
+    valid_mask = read_gray(info['fpath_valid_mask'])
+
+    img_u8 = np.uint8(img * 255)
+    _, clear = blur_map(img_u8, thresh=cfg.blur_thresh)
+    clear_mask = clear[..., None] / 255.0 * valid_mask
+
+    train = np.stack(np.nonzero(valid_mask[..., 0]), 1)
+    val = np.stack(np.nonzero((clear_mask * valid_mask)[..., 0]), 1)
+
+    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
+    return TaskData(img=img, masked_img=img, mask=clear_mask,
+                    valid_mask=valid_mask, i_train=train, i_val=val,
+                    selected_shifts=shifts, selected_angles=angles,
+                    selected_periods=periods,
+                    patch_size=patch_size_from_periods(periods),
+                    extra={'clear_mask': clear_mask})
+
+
+def load_segmentation(cfg) -> TaskData:
+    """reference: loaders.py:141-239. Coarse SLIC+GMM+graph-cut proposes the
+    initial periodic region; the model is fit on the blurred image."""
+    from ..ops.blur import blur_with_mask
+    from ..segmentation.coarse import coarse_segment
+
+    info = read_odgt(cfg.datadir)
+    img = read_rgb(info['fpath_gt_img'])
+    valid_mask = read_gray(info['fpath_valid_mask'])
+
+    img_u8 = np.uint8(img * 255)
+    blur_img = blur_with_mask(img_u8, valid_mask) / 255.0
+
+    seg = coarse_segment(img_u8, valid_mask[..., 0] > 0.5,
+                         nb_classes=cfg.nb_classes, sp_size=cfg.sp_size,
+                         sp_regul=cfg.sp_regul)
+    seg = np.uint8((seg + 1) * valid_mask[..., 0])
+
+    h, w = seg.shape
+    counts = np.bincount(seg[h // 4: h // 4 * 3, w // 4: w // 4 * 3].reshape(-1),
+                         minlength=cfg.nb_classes + 1)[1:]
+    period_label = int(counts.argmax()) + 1
+
+    period_mask = (seg == period_label)[..., None].astype(np.float64)
+    non_period_mask = (((seg != period_label) & (seg > 0))[..., None]
+                       ).astype(np.float64)
+
+    train = np.stack(np.nonzero((period_mask * valid_mask)[..., 0]), 1)
+    val = np.stack(np.nonzero(((1 - period_mask) * valid_mask)[..., 0]), 1)
+
+    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
+    return TaskData(img=img, masked_img=blur_img, mask=period_mask,
+                    valid_mask=valid_mask, i_train=train, i_val=val,
+                    selected_shifts=shifts, selected_angles=angles,
+                    selected_periods=periods,
+                    patch_size=patch_size_from_periods(periods),
+                    extra={'blur_img': blur_img, 'period_mask': period_mask,
+                           'non_period_mask': non_period_mask,
+                           'coarse_seg': seg})

@@ -1,0 +1,147 @@
+"""Shared per-image fit pipeline used by the three tasks.
+
+Replaces the copy-pasted skeletons of the reference trainers
+(NPP_completion/train.py / NPP_segmentation/train.py / NPP_remapping/train.py)
+with one driver: build components -> staged fit (patch-size decay re-specialises
+the compiled step, reference: NPP_completion/train.py:137-141) -> eval hooks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.contextual import ContextualLoss
+from ..losses.lpips import LPIPS
+from ..losses.style import StyleLoss
+from ..nn.embedder import make_task_embedder
+from ..nn.mlp import NPPNet, NPPNetTop1
+from .loaders import TaskData
+from .sampler import build_sampler_consts
+from .trainer import (FitConsts, FitState, TaskSpec, init_fit_state,
+                      make_fit_step, make_render)
+
+
+@dataclasses.dataclass
+class Components:
+    embedder: Any
+    model: Any
+    percep: Optional[LPIPS]
+    contextual: Optional[ContextualLoss]
+    style: Optional[StyleLoss]
+
+
+def build_components(cfg, data: TaskData, task: TaskSpec) -> Components:
+    h, w = data.img.shape[:2]
+    embedder = make_task_embedder(cfg, np.asarray(data.selected_angles),
+                                  np.asarray(data.selected_periods), (h, w),
+                                  jax.random.PRNGKey(cfg.seed))
+    k = min(cfg.p_topk, len(data.selected_angles))
+    if k > 1:
+        model = NPPNet(input_ch_periodic=embedder.top1_dim,
+                       input_ch_periodic_aux=embedder.out_dim - embedder.top1_dim,
+                       depth=cfg.netdepth, width=cfg.netwidth,
+                       activation=cfg.activation)
+    else:
+        model = NPPNetTop1(input_ch_periodic=embedder.top1_dim,
+                           depth=cfg.netdepth, width=cfg.netwidth,
+                           activation=cfg.activation)
+    percep = LPIPS(net='vgg') if cfg.use_perceptual_loss else None
+    contextual = ContextualLoss(use_vgg=True) if cfg.use_contextual_loss else None
+    style = StyleLoss(use_adaptive=getattr(cfg, 'use_adaptive_style_loss', False)) \
+        if task.use_style and getattr(cfg, 'use_style_loss', False) else None
+    return Components(embedder, model, percep, contextual, style)
+
+
+def _pad_coord_pool(pool: np.ndarray):
+    n = max(len(pool), 1)
+    target = int(2 ** np.ceil(np.log2(n)))
+    if len(pool) == 0:
+        pool = np.zeros((1, 2), np.int64)
+    pad = target - len(pool)
+    pool = np.concatenate([pool, np.repeat(pool[:1], pad, 0)])
+    return jnp.asarray(pool.astype(np.int32)), jnp.asarray(len(pool) - pad)
+
+
+def make_fit_consts(cfg, task: TaskSpec, data: TaskData,
+                    patch_size: int) -> FitConsts:
+    pixel_img = data.masked_img if task.name != 'remapping' else data.img
+    if task.pixel_mask_from_gt:
+        pixel_mask = data.extra['clear_mask']
+    else:
+        pixel_mask = np.ones_like(data.mask)
+    # sampler mask: known-region mask (mask * valid), task-appropriate
+    sampler_mask = (data.mask * data.valid_mask)[..., 0] \
+        if task.name != 'remapping' else data.mask[..., 0]
+    sampler = build_sampler_consts(pixel_img, sampler_mask, data.i_train,
+                                   data.i_val, data.selected_shifts, patch_size)
+    pool, pool_n = _pad_coord_pool(data.i_train)
+    return FitConsts(
+        pixel_img=jnp.asarray(pixel_img, jnp.float32),
+        pixel_mask=jnp.asarray(pixel_mask, jnp.float32),
+        pool_train=pool, pool_train_n=pool_n, sampler=sampler)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: FitState
+    render: Callable
+    components: Components
+    history: List[Dict[str, float]]
+    wall_time_s: float
+    iters_per_sec: float
+
+
+def fit_image(cfg, task: TaskSpec, data: TaskData,
+              eval_hook: Optional[Callable[[int, FitState, Callable], None]] = None,
+              log_every: Optional[int] = None) -> FitResult:
+    """The reference's per-task training loop as one driver
+    (reference: NPP_completion/train.py:133-264)."""
+    comps = build_components(cfg, data, task)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, k_init = jax.random.split(rng)
+    state, tx = init_fit_state(cfg, task, comps.model, comps.embedder, k_init,
+                               comps.percep, comps.style)
+    render = make_render(cfg, comps.model, comps.embedder)
+
+    patch_size = data.patch_size
+    patch_num = cfg.patch_num
+    consts = make_fit_consts(cfg, task, data, patch_size)
+    step_fn = make_fit_step(cfg, task, comps.model, comps.embedder, consts,
+                            comps.percep, comps.contextual, comps.style, tx,
+                            patch_num, patch_size)
+
+    history: List[Dict[str, float]] = []
+    t0 = time.time()
+    for i in range(1, cfg.N_iters):
+        if (i % cfg.patch_size_decay == 0 and i != 1 and patch_size > 31
+                and cfg.N_iters - i > 10):
+            # the trailing-iteration guard (no reference equivalent) skips a
+            # full recompile when the decay lands within the last few steps
+            # (e.g. N_iters=2001 with decay=2000 re-stages for ONE iteration,
+            # reference: NPP_completion/train.py:137-141)
+            patch_size //= 2
+            patch_num *= 2
+            consts = make_fit_consts(cfg, task, data, patch_size)
+            step_fn = make_fit_step(cfg, task, comps.model, comps.embedder,
+                                    consts, comps.percep, comps.contextual,
+                                    comps.style, tx, patch_num, patch_size)
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, k)
+        if log_every and i % log_every == 0:
+            m = {k_: float(v) for k_, v in metrics.items()}
+            m['iter'] = i
+            history.append(m)
+            print(f"[{task.name}] iter {i} " +
+                  " ".join(f"{k_}={v:.4g}" for k_, v in m.items() if k_ != 'iter'))
+        if eval_hook is not None and i % cfg.i_testset == 0 and i > 0:
+            eval_hook(i, state, render)
+    jax.block_until_ready(state.params)
+    wall = time.time() - t0
+    return FitResult(state=state, render=render, components=comps,
+                     history=history, wall_time_s=wall,
+                     iters_per_sec=(cfg.N_iters - 1) / max(wall, 1e-9))

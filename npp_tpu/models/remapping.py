@@ -1,0 +1,77 @@
+"""Remapping task: re-render the whole image sharply by fitting only to
+clear (non-blurry) regions with a style loss (reference:
+NPP_remapping/train.py:28-380)."""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.pixel import img2mse, mse2psnr
+from ..utils.io import write_gray, write_rgb
+from .loaders import load_remapping
+from .pipeline import TaskSpec, fit_image
+from .trainer import FitState
+
+REMAPPING_TASK = TaskSpec(name='remapping', use_style=True,
+                          pixel_mask_from_gt=True)
+
+
+def evaluate(data, params, render, adaptive_pix, loss_type: str
+             ) -> Dict[str, np.ndarray]:
+    """reference: NPP_remapping/train.py:306-365."""
+    h, w = data.img.shape[:2]
+    pred = render(params, h, w)
+    valid = jnp.asarray(data.valid_mask, jnp.float32)
+    img = jnp.asarray(data.img, jnp.float32)
+    clear = jnp.asarray(data.extra['clear_mask'], jnp.float32)
+
+    out = {
+        'pred_rgb_train_img': np.asarray(pred * valid),
+        'pred_rgb_val_img': np.asarray(pred * clear * valid),
+        'pred_rgb_img': np.asarray(pred * valid),
+    }
+    tc, vc = data.i_train, data.i_val
+    if len(tc):
+        pt, gt = pred[tc[:, 0], tc[:, 1]], img[tc[:, 0], tc[:, 1]]
+        out['img_train_loss'] = float(img2mse(pt, gt, loss_type, adaptive_pix))
+        out['train_psnr'] = float(mse2psnr(jnp.mean((pt - gt) ** 2)))
+    if len(vc):
+        pv, gv = pred[vc[:, 0], vc[:, 1]], img[vc[:, 0], vc[:, 1]]
+        out['img_val_loss'] = float(img2mse(pv, gv, loss_type, adaptive_pix))
+        out['val_psnr'] = float(mse2psnr(jnp.mean((pv - gv) ** 2)))
+    return out
+
+
+def run_remapping(cfg, save: bool = True):
+    data = load_remapping(cfg)
+    name = cfg.datadir.rstrip('/').split('/')[-1]
+    expname = f'{cfg.expname}_top{cfg.p_topk}'
+    save_dir = os.path.join(cfg.basedir, expname, name)
+    if save:
+        write_gray(os.path.join(save_dir, 'blur_mask.png'),
+                   data.extra['clear_mask'])
+
+    evals = {}
+
+    def eval_hook(i: int, state: FitState, render):
+        res = evaluate(data, state.params['mlp'], render,
+                       state.params['adaptive_pix'], cfg.loss_type)
+        evals[i] = {k: v for k, v in res.items() if np.isscalar(v)}
+        print(f"[remapping] eval@{i}: "
+              f"train_psnr={res.get('train_psnr', float('nan')):.2f} "
+              f"val_psnr={res.get('val_psnr', float('nan')):.2f}")
+        if save:
+            d = os.path.join(save_dir, f'testset_{i:06d}')
+            for key in ('pred_rgb_train_img', 'pred_rgb_val_img', 'pred_rgb_img'):
+                write_rgb(os.path.join(d, f'{key}.png'), res[key])
+            write_rgb(os.path.join(d, 'gt_rgb_img.png'),
+                      data.img * data.valid_mask)
+
+    result = fit_image(cfg, REMAPPING_TASK, data, eval_hook=eval_hook,
+                       log_every=cfg.i_print)
+    final = evaluate(data, result.state.params['mlp'], result.render,
+                     result.state.params['adaptive_pix'], cfg.loss_type)
+    return result, final, evals

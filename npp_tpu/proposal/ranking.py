@@ -1,0 +1,140 @@
+"""Proposal ranking: fit a light NPP-Net per candidate periodicity and score
+the held-out pseudo-mask region (reference: NPP_proposal/search.py:78-219).
+
+The reference loops candidates in Python, rebuilding model/optimizer each time
+(search.py:85-113). Here all candidates advance in lockstep: one compiled
+program, parameters stacked on a leading candidate axis, `vmap` over the
+candidate-dependent embedding/loss, `lax.scan` over the N_iters fit
+(SURVEY.md §2.3 "vmap is the new for-loop"). The reference reseeds
+per-candidate so every candidate sees the same init and the same pixel
+batches (search.py:91-92) — replicated here by broadcasting one init and
+sharing batch indices across the candidate axis.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses.contextual import ContextualLoss
+from ..losses.lpips import LPIPS
+from ..losses.pixel import img2mse
+from ..losses.robust import adaptive_init
+from ..nn.embedder import fourier_encode, gaussian_freq_bands, normalize_coords, periodic_warp
+from ..nn.mlp import NPPNetLight, render_activation
+from ..config import nerf_embed_dim, periodic_embed_dim
+from .pseudo_mask import build_pseudo_split
+
+
+def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
+                   i_val: np.ndarray, all_angles, all_periods,
+                   percep: LPIPS, contextual: ContextualLoss) -> np.ndarray:
+    """Returns distance (lower = better periodicity) per candidate."""
+    h, w = masked_img.shape[:2]
+    n_cand = len(all_angles)
+    angles = jnp.asarray(np.asarray(all_angles, np.float32))    # (N, 2)
+    periods = jnp.asarray(np.asarray(all_periods, np.float32))  # (N, 2)
+
+    bands = gaussian_freq_bands(jax.random.PRNGKey(cfg.seed), cfg.multires)
+    p_dim = periodic_embed_dim(cfg, include_input=False)
+
+    model = NPPNetLight(
+        input_ch_periodic_all=p_dim, n_scales=len(cfg.freq_scales),
+        n_offsets=len(cfg.freq_offsets),
+        n_angle_offsets=len(cfg.angle_offsets), depth=cfg.netdepth,
+        width=cfg.netwidth, activation=cfg.activation)
+
+    def embed_pos(coords):
+        return fourier_encode(normalize_coords(coords, (h, w)), bands, True)
+
+    def embed_peri(coords, ang, per):
+        return periodic_warp(coords, ang, per, cfg.freq_scales,
+                             cfg.freq_offsets, cfg.angle_offsets, (h, w),
+                             include_input=False)
+
+    # one init broadcast to all candidates (reference reseeds per candidate)
+    pos_dim = nerf_embed_dim(cfg, 2, include_input=True)
+    params0 = {
+        'mlp': model.init(jax.random.PRNGKey(cfg.seed),
+                          jnp.zeros((1, pos_dim)), jnp.zeros((1, p_dim)))['params'],
+        'adaptive_pix': adaptive_init(3),
+    }
+    params = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_cand,) + x.shape), params0)
+    sched = lambda s: cfg.lrate * (0.1 ** (s / (cfg.lrate_decay * 100.0)))
+    tx = optax.adam(sched, b1=0.9, b2=0.999)
+    opt_state = tx.init(params)
+
+    img = jnp.asarray(masked_img, jnp.float32)
+    train_pool = jnp.asarray(np.asarray(i_train, np.int32))
+
+    def one_cand_loss(p, ang, per, coords, gt):
+        e_pos = embed_pos(coords)
+        e_per = embed_peri(coords, ang, per)
+        pred = render_activation(model.apply({'params': p['mlp']}, e_pos, e_per),
+                                 cfg.normalize_type)
+        return img2mse(pred, gt, cfg.loss_type, p['adaptive_pix'], None)
+
+    def scan_step(carry, key):
+        params, opt_state = carry
+        idx = jax.random.randint(key, (cfg.N_rand,), 0, train_pool.shape[0])
+        coords = train_pool[idx].astype(jnp.float32)
+        gt = img[train_pool[idx][:, 0], train_pool[idx][:, 1]]
+
+        def per_cand(p, ang, per):
+            return jax.value_and_grad(one_cand_loss)(p, ang, per, coords, gt)
+
+        losses, grads = jax.vmap(per_cand)(params, angles, periods)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), jnp.mean(losses)
+
+    @jax.jit
+    def fit(params, opt_state, rng):
+        keys = jax.random.split(rng, cfg.N_iters)
+        (params, opt_state), losses = jax.lax.scan(
+            scan_step, (params, opt_state), keys)
+        return params, losses
+
+    params, _ = fit(params, opt_state, jax.random.PRNGKey(cfg.seed + 1))
+
+    # ---- evaluation on the held-out pseudo region (search.py:150-205)
+    val = np.asarray(i_val, np.int64)
+    hmin, hmax = int(val[:, 0].min()), int(val[:, 0].max())
+    wmin, wmax = int(val[:, 1].min()), int(val[:, 1].max())
+    val_j = jnp.asarray(val.astype(np.int32))
+
+    chunk = 1 << 14
+    pad = (-len(val)) % chunk
+    val_pad = jnp.pad(val_j, ((0, pad), (0, 0))).reshape(-1, chunk, 2)
+
+    @jax.jit
+    def render_val(p, ang, per):
+        def body(c):
+            cf = c.astype(jnp.float32)
+            raw = model.apply({'params': p['mlp']}, embed_pos(cf),
+                              embed_peri(cf, ang, per))
+            return render_activation(raw, cfg.normalize_type)
+        out = jax.lax.map(body, val_pad).reshape(-1, 3)[:len(val)]
+        canvas = jnp.zeros((h, w, 3))
+        return canvas.at[val_j[:, 0], val_j[:, 1]].set(out)
+
+    gt_canvas = jnp.zeros((h, w, 3)).at[val_j[:, 0], val_j[:, 1]].set(
+        img[val_j[:, 0], val_j[:, 1]])
+    gt_crop = gt_canvas[hmin:hmax, wmin:wmax][None]
+
+    distances = []
+    for c in range(n_cand):
+        p_c = jax.tree.map(lambda x: x[c], params)
+        pred = render_val(p_c, angles[c], periods[c])
+        pred_crop = pred[hmin:hmax, wmin:wmax][None]
+        val_percep = jnp.mean(percep(pred_crop, gt_crop, use_robust=False))
+        val_cx = contextual(pred_crop, gt_crop)
+        d = float(val_percep * cfg.perceptual_weight +
+                  val_cx * cfg.contextual_weight)
+        distances.append(d)
+        print(f'[search] candidate {c + 1}/{n_cand} distance={d:.4f}')
+    return np.asarray(distances)

@@ -1,0 +1,91 @@
+"""Periodicity proposal orchestrator (reference: NPP_proposal/search.py:28-285):
+detect candidate periodicities, rank them by light-model fits, write the
+odgt record + lattice visualisations consumed by the task pipelines."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..losses.contextual import ContextualLoss
+from ..losses.lpips import LPIPS
+from ..utils.io import read_example_dir, write_odgt, write_rgb, write_gray
+from ..utils.visualizer import GridProgram, mask2ltrb
+from .pseudo_mask import build_pseudo_split
+from .search_engine import search_periodicity_by_feat
+
+
+def run_search(cfg, percep: Optional[LPIPS] = None,
+               contextual: Optional[ContextualLoss] = None) -> dict:
+    name = cfg.datadir.rstrip('/').split('/')[-1]
+    file_dir = os.path.join(cfg.outdir, name)
+    os.makedirs(file_dir, exist_ok=True)
+
+    data = read_example_dir(cfg.datadir)
+    masked_img = data['masked_img']
+    gt_img = data['gt_img']
+    unknown_mask = data['unknown_mask']
+    valid_mask = data['valid_mask']
+
+    # ---- candidate detection (reference: loaders.py:28-32)
+    all_angles, all_periods, all_shifts = search_periodicity_by_feat(
+        np.uint8(masked_img * 255),
+        np.uint8(valid_mask * unknown_mask)[..., 0],
+        repeat_range=cfg.search_range, edge_searching=cfg.edge_searching,
+        gray_only=cfg.gray_only)
+    if not all_angles:
+        raise RuntimeError(f'no periodicity candidates found for {name}')
+    print(f'[search] {len(all_angles)} candidates detected')
+
+    # ---- pseudo-mask split (reference: loaders.py:34-54)
+    _, i_train, i_val = build_pseudo_split(unknown_mask, valid_mask)
+
+    # ---- ranking (reference: search.py:78-219)
+    if percep is None:
+        percep = LPIPS(net='vgg')
+    if contextual is None:
+        contextual = ContextualLoss(use_vgg=True)
+    from .ranking import rank_proposals
+    distances = rank_proposals(cfg, masked_img, i_train, i_val,
+                               all_angles, all_periods, percep, contextual)
+
+    k = min(cfg.topk_detection, len(distances))
+    order = np.argsort(distances, kind='stable')[:k]
+
+    best_shifts = [[list(map(float, all_shifts[i][j])) for j in range(2)]
+                   for i in order]
+    best_periods = [list(map(float, all_periods[i])) for i in order]
+    best_angles = [list(map(float, all_angles[i])) for i in order]
+
+    odgt = {
+        'fpath_masked_img': f'{file_dir}/masked_img.png',
+        'fpath_valid_mask': f'{file_dir}/valid_mask.png',
+        'fpath_mask': f'{file_dir}/unknown_mask.png',
+        'fpath_gt_img': f'{file_dir}/gt_img.png',
+        'selected_angles': best_angles,
+        'selected_periods': best_periods,
+        'selected_shifts': best_shifts,
+        'search_range': list(cfg.search_range),
+        'epoch': cfg.N_iters,
+        'distances': [float(distances[i]) for i in order],
+    }
+
+    # ---- lattice visualisations (reference: search.py:249-269)
+    ltrb = mask2ltrb(valid_mask[..., 0])
+    vis_img = np.uint8(masked_img * 255)
+    for i in range(k):
+        vis = GridProgram(resolution=vis_img.shape[:2], base_point=ltrb[:2],
+                          first_shift=best_shifts[i][0],
+                          second_shift=best_shifts[i][1])
+        reg_img, _ = vis.draw(vis_img.copy(), color=(255, 255, 0))
+        write_rgb(os.path.join(file_dir, f'reg_img_{i}.png'), reg_img / 255.0)
+        odgt[f'fpath_reg_img_{i}'] = f'{file_dir}/reg_img_{i}.png'
+
+    write_gray(os.path.join(file_dir, 'valid_mask.png'), valid_mask)
+    write_gray(os.path.join(file_dir, 'unknown_mask.png'), unknown_mask)
+    write_rgb(os.path.join(file_dir, 'masked_img.png'), masked_img)
+    write_rgb(os.path.join(file_dir, 'gt_img.png'), gt_img)
+    write_odgt(file_dir, odgt)
+    print(f'[search] wrote {file_dir}/config.odgt')
+    return odgt
