@@ -1,0 +1,204 @@
+"""Benchmark: completion fit-step throughput at the reference's flagship
+configuration (8192 pixels + 2x160^2 patch pixels per step, D=8/W=512 MLP on
+1386-ch embeddings, adaptive robust pixel loss + VGG19 contextual patch loss;
+reference budgets: options/arg_config.py:55-63,96 and SURVEY.md §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers and this environment has no
+CUDA GPU, so the baseline is the reference's own computation pattern
+(precomputed embeddings + torch MLP + robust loss + CX loss) executed by
+torch on this host's CPU at identical shapes, measured in-process. See
+BASELINE.md for the full accounting.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+H, W = 384, 512
+PATCH_SIZE = 160
+PATCH_NUM = 2
+TOPK = 3
+N_BENCH_TPU = 100
+N_BENCH_CPU = 5
+
+
+def _synthetic_data(cfg):
+    from npp_tpu.models.loaders import TaskData
+    rng = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing='ij')
+    img = np.stack([
+        0.5 + 0.4 * np.sin(2 * np.pi * yy / 48.0) * np.cos(2 * np.pi * xx / 56.0),
+        0.5 + 0.3 * np.cos(2 * np.pi * (yy / 48.0 + xx / 56.0)),
+        0.5 + 0.2 * np.sin(2 * np.pi * xx / 56.0)], -1)
+    img += rng.randn(H, W, 3) * 0.02
+    img = np.clip(img, 0, 1)
+    mask = np.ones((H, W, 1))
+    mask[150:230, 200:300] = 0
+    valid = np.ones((H, W, 1))
+    train = np.stack(np.nonzero((mask * valid)[..., 0]), 1)
+    val = np.stack(np.nonzero(((1 - mask) * valid)[..., 0]), 1)
+    shifts = [[[56.0, 0.0], [0.0, 48.0]]] * TOPK
+    angles = [[90.0, 180.0]] * TOPK
+    periods = [[48.0, 56.0], [24.0, 28.0], [96.0, 112.0]]
+    return TaskData(img=img, masked_img=img * mask, mask=mask,
+                    valid_mask=valid, i_train=train, i_val=val,
+                    selected_shifts=shifts, selected_angles=angles,
+                    selected_periods=periods, patch_size=PATCH_SIZE)
+
+
+def bench_tpu() -> float:
+    import jax
+    import npp_tpu
+    npp_tpu.enable_compilation_cache()
+    from npp_tpu.config import CompletionConfig
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import build_components, make_fit_consts
+    from npp_tpu.models.trainer import init_fit_state, make_fit_step
+
+    cfg = CompletionConfig()
+    data = _synthetic_data(cfg)
+    comps = build_components(cfg, data, COMPLETION_TASK)
+    state, tx = init_fit_state(cfg, COMPLETION_TASK, comps.model,
+                               comps.embedder, jax.random.PRNGKey(0),
+                               comps.percep, comps.style)
+    consts = make_fit_consts(cfg, COMPLETION_TASK, data, PATCH_SIZE)
+    step = make_fit_step(cfg, COMPLETION_TASK, comps.model, comps.embedder,
+                         consts, comps.percep, comps.contextual, comps.style,
+                         tx, PATCH_NUM, PATCH_SIZE)
+    rng = jax.random.PRNGKey(1)
+    state, _ = step(state, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.time()
+    for i in range(N_BENCH_TPU):
+        rng, k = jax.random.split(rng)
+        state, _ = step(state, k)
+    jax.block_until_ready(state.params)
+    return N_BENCH_TPU / (time.time() - t0)
+
+
+def bench_torch_cpu() -> float:
+    """The reference's step pattern at identical shapes on host CPU:
+    precomputed (N, 1386) embeddings gathered per step, torch NPP-Net D=8
+    W=512, adaptive robust pixel loss, VGG19-relu3_4 contextual patch loss."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    torch.manual_seed(0)
+    emb_dim = 1386
+    top1 = 462
+    n_rand = 32 * 32 * 8
+    patch_px = PATCH_NUM * PATCH_SIZE * PATCH_SIZE
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.trunk = nn.ModuleList(
+                [nn.Linear(top1, 512)] +
+                [nn.Linear(512 + (top1 if i == 5 else 0), 512)
+                 for i in range(1, 8)])  # layer 5 consumes the skip concat
+            self.f1 = nn.Linear(512, 512)
+            self.scale = nn.Linear(emb_dim - top1 + 512, 512)
+            self.f2 = nn.Linear(512, 512)
+            self.pos = nn.Linear(1024, 256)
+            self.rgb = nn.Linear(256, 3)
+
+        def forward(self, e):
+            inp = e[:, :top1]
+            h = inp
+            for i, l in enumerate(self.trunk):
+                h = l(h)
+                h = h + torch.sin(h) ** 2
+                if i == 4:
+                    h = torch.cat([inp, h], -1)
+            f1 = self.f1(h)
+            h = self.scale(torch.cat([f1, e[:, top1:]], -1))
+            h = h + torch.sin(h) ** 2
+            h = torch.cat([f1, self.f2(h)], -1)
+            h = self.pos(h)
+            h = h + torch.sin(h) ** 2
+            return torch.sigmoid(self.rgb(h))
+
+    # VGG19 through relu3_4 for the contextual loss
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128),
+             (128, 256), (256, 256), (256, 256), (256, 256)]
+    vgg_layers = []
+    pools = {2, 4}
+    for i, (cin, cout) in enumerate(chans):
+        if i in pools:
+            vgg_layers.append(nn.MaxPool2d(2, 2))
+        vgg_layers.append(nn.Conv2d(cin, cout, 3, padding=1))
+        vgg_layers.append(nn.ReLU())
+    vgg = nn.Sequential(*vgg_layers)
+    for p in vgg.parameters():
+        p.requires_grad_(False)
+
+    def cx_loss(x, y):
+        fx, fy = vgg(x), vgg(y)
+        n, c = fx.shape[:2]
+        mu = fy.mean(dim=(0, 2, 3), keepdim=True)
+        fx = F.normalize((fx - mu).reshape(n, c, -1), dim=1)
+        fy = F.normalize((fy - mu).reshape(n, c, -1), dim=1)
+        sim = torch.bmm(fx.transpose(1, 2), fy).clamp(0, 1)
+        d = 1 - sim
+        d = d / (d.min(dim=2, keepdim=True)[0] + 1e-5)
+        w = torch.exp((1 - d) / 0.5)
+        cx = w / w.sum(dim=2, keepdim=True)
+        cx = cx.max(dim=1)[0].mean(dim=1)
+        return -torch.log(cx + 1e-5).mean()
+
+    net = Net()
+    latent = nn.Parameter(torch.zeros(2, 3))
+    opt = torch.optim.Adam(list(net.parameters()) + [latent], lr=5e-4)
+    embeddings = torch.randn(H * W, emb_dim)
+    target = torch.rand(H * W, 3)
+    patches_gt = torch.rand(PATCH_NUM * TOPK, 3, PATCH_SIZE, PATCH_SIZE)
+
+    def step():
+        idx = torch.randint(0, H * W, (n_rand + patch_px,))
+        pred = net(embeddings[idx])
+        diff = pred[:n_rand] - target[idx[:n_rand]]
+        alpha = torch.sigmoid(latent[0]) * 1.998 + 0.001
+        scale = F.softplus(latent[1] + 0.5413) * (1 - 1e-5) + 1e-5
+        sq = (diff / scale) ** 2
+        beta = (alpha - 2).abs().clamp(min=1e-7)
+        loss = ((beta / alpha.clamp(min=1e-7)) *
+                ((sq / beta + 1) ** (alpha / 2) - 1)).mean()
+        pred_patch = pred[n_rand:].reshape(PATCH_NUM, PATCH_SIZE, PATCH_SIZE, 3)
+        pred_patch = pred_patch.permute(0, 3, 1, 2).repeat_interleave(TOPK, 0)
+        loss = loss + 0.001 * cx_loss(pred_patch, patches_gt)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()
+    t0 = time.time()
+    for _ in range(N_BENCH_CPU):
+        step()
+    return N_BENCH_CPU / (time.time() - t0)
+
+
+def main():
+    tpu_ips = bench_tpu()
+    try:
+        cpu_ips = bench_torch_cpu()
+        vs = tpu_ips / cpu_ips
+    except Exception:
+        cpu_ips, vs = None, None
+    print(json.dumps({
+        'metric': 'completion_fit_iters_per_sec',
+        'value': round(tpu_ips, 3),
+        'unit': 'iter/s',
+        'vs_baseline': round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

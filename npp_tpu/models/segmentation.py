@@ -1,0 +1,127 @@
+"""Segmentation task: separate the periodic region from non-periodic content
+(reference: NPP_segmentation/train.py:28-415). Coarse SLIC+GMM+graph-cut
+proposes a periodic region (loader), NPP-Net is fit on the blurred image, and
+the region is refined by thresholding L1 + spatial-LPIPS error maps."""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage as ndimage
+
+from ..losses.lpips import LPIPS
+from ..utils.io import write_gray, write_rgb
+from .loaders import load_segmentation
+from .pipeline import TaskSpec, fit_image
+from .trainer import FitState
+
+SEGMENTATION_TASK = TaskSpec(name='segmentation')
+
+_GRAY = np.array([0.299, 0.587, 0.114])  # kornia rgb_to_grayscale weights
+
+
+def remove_small_objects(mask: np.ndarray, min_size: int = 500,
+                         connectivity: int = 1) -> np.ndarray:
+    """skimage.morphology.remove_small_objects equivalent
+    (reference: NPP_segmentation/train.py:395)."""
+    structure = ndimage.generate_binary_structure(2, connectivity)
+    lab, n = ndimage.label(mask, structure=structure)
+    sizes = np.bincount(lab.ravel())
+    keep = sizes >= min_size
+    keep[0] = False
+    return keep[lab]
+
+
+def refine_segmentation(cfg, data, pred_img: np.ndarray,
+                        lpips_alex: LPIPS) -> Dict[str, np.ndarray]:
+    """The two-criterion refinement (reference:
+    NPP_segmentation/train.py:333-406): L1 < l1_thresh AND spatial
+    LPIPS < lpips_thresh per layer; morphology post-processing."""
+    valid = data.valid_mask
+    blur_img = data.extra['blur_img']
+    non_period = data.extra['non_period_mask'][..., 0]
+
+    pred_gray = ((pred_img * valid) @ _GRAY)[..., None]     # (H, W, 1)
+    blur_gray = ((blur_img * valid) @ _GRAY)[..., None]
+
+    l1_img = np.clip(np.abs(pred_gray - blur_gray).sum(-1), 0, 0.99)
+    l1_ok = l1_img < cfg.l1_thresh
+
+    _, per_layer = lpips_alex(jnp.asarray(pred_gray[None], jnp.float32),
+                              jnp.asarray(blur_gray[None], jnp.float32),
+                              use_robust=False, normalize=True, spatial=True,
+                              ret_per_layer=True)
+
+    non_period_final = None
+    lpips_maps = []
+    for i in range(cfg.lpips_layers):
+        lp = np.asarray(per_layer[i][0, ..., 0])
+        lp_np = non_period * lp
+        lpips_maps.append(lp_np)
+        lp_ok = lp_np < cfg.lpips_thresh
+        period_i = lp_ok & l1_ok
+        np_i = (~period_i).astype(np.float64)
+        non_period_final = np_i if non_period_final is None \
+            else non_period_final + np_i
+
+    non_period_final = non_period_final > 0
+    non_period_final = ndimage.binary_fill_holes(non_period_final)
+    non_period_final = remove_small_objects(non_period_final, min_size=500,
+                                            connectivity=1)
+    return {
+        'non_period_mask': non_period_final.astype(np.float64)[..., None],
+        'l1_img': l1_img * valid[..., 0],
+        'lpips_maps': lpips_maps,
+    }
+
+
+def overlay(img: np.ndarray, non_period_mask: np.ndarray,
+            valid_mask: np.ndarray, alpha: float = 0.7) -> np.ndarray:
+    """Green non-periodic overlay (reference: train.py:398-406)."""
+    np_color = np.array([0.0, 1.0, 0.0])
+    m = non_period_mask
+    vis = img * alpha + (1 - alpha) * (np_color * m + img * (1 - m))
+    return vis * valid_mask
+
+
+def run_segmentation(cfg, save: bool = True):
+    data = load_segmentation(cfg)
+    name = cfg.datadir.rstrip('/').split('/')[-1]
+    expname = f'{cfg.expname}_top{cfg.p_topk}'
+    save_dir = os.path.join(cfg.basedir, expname, name)
+    if save:
+        write_gray(os.path.join(save_dir, 'segment_init.png'),
+                   (data.extra['non_period_mask'] > 0).astype(np.float64))
+
+    lpips_alex = LPIPS(net='alex')
+    results = {}
+
+    def eval_hook(i: int, state: FitState, render):
+        h, w = data.img.shape[:2]
+        pred = np.asarray(render(state.params['mlp'], h, w))
+        res = refine_segmentation(cfg, data, pred, lpips_alex)
+        results[i] = res
+        frac = float(res['non_period_mask'].mean())
+        print(f"[segmentation] eval@{i}: non-periodic fraction={frac:.3f}")
+        if save:
+            d = os.path.join(save_dir, f'testset_{i:06d}')
+            write_gray(os.path.join(d, 'l1_diff_img.png'), res['l1_img'])
+            for j, lp in enumerate(res['lpips_maps']):
+                write_gray(os.path.join(d, f'lpips_diff_img_{j}.png'),
+                           np.clip(lp, 0, 1))
+            write_rgb(os.path.join(d, 'segment.png'),
+                      overlay(data.img, res['non_period_mask'],
+                              data.valid_mask))
+            write_rgb(os.path.join(d, 'pred_rgb_img.png'),
+                      pred * data.valid_mask)
+
+    result = fit_image(cfg, SEGMENTATION_TASK, data, eval_hook=eval_hook,
+                       log_every=cfg.i_print)
+    if not results:  # ensure at least one refinement at the end
+        h, w = data.img.shape[:2]
+        pred = np.asarray(result.render(result.state.params['mlp'], h, w))
+        results[cfg.N_iters - 1] = refine_segmentation(cfg, data, pred,
+                                                       lpips_alex)
+    return result, results

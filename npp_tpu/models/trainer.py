@@ -4,7 +4,7 @@ TPU-first redesign of the reference's per-task training loops
 (reference: NPP_completion/train.py:133-264, NPP_segmentation/train.py:148-286,
 NPP_remapping/train.py:175-296), which share one skeleton and differ only in
 pixel-loss source/weighting and the style-loss term. Here that skeleton is a
-single `make_fit` factory parameterised by a TaskSpec:
+single loss builder parameterised by a TaskSpec:
 
  - embeddings are computed on the fly from (N, 2) coords inside the step
    (no (H, W, 1386) precompute; reference materialises it at
@@ -18,6 +18,10 @@ single `make_fit` factory parameterised by a TaskSpec:
    (reference collects them into grad_vars by hand, helpers.py:144-158);
  - LR schedule lr0 * 0.1^(step / (lrate_decay*100)) via optax
    (reference: NPP_completion/train.py:256-264).
+
+`build_loss_fn` takes the embedder and per-image constants as ARGUMENTS (not
+closures) so the same loss program serves both the single-image jitted step
+and the multi-image vmap/shard_map path in npp_tpu.parallel.
 """
 from __future__ import annotations
 
@@ -54,9 +58,9 @@ class TaskSpec:
     pixel_mask_from_gt: bool = False  # remapping: weight by clear mask values
 
 
-@dataclasses.dataclass
-class FitConsts:
-    """Device-resident per-image constants for the fit."""
+class FitConsts(NamedTuple):
+    """Device-resident per-image constants for the fit (a pytree, so it can
+    carry a leading batch axis under vmap)."""
 
     pixel_img: jnp.ndarray      # (H, W, 3) gt source for the pixel loss
     pixel_mask: jnp.ndarray     # (H, W, 1) weights for the pixel loss
@@ -84,11 +88,10 @@ def init_fit_state(cfg, task: TaskSpec, model, embedder, rng,
     return FitState(params, tx.init(params), jnp.int32(0)), tx
 
 
-def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
+def build_loss_fn(cfg, task: TaskSpec, model,
                   percep: Optional[LPIPS], contextual: Optional[ContextualLoss],
-                  style: Optional[StyleLoss], tx, patch_num: int,
-                  patch_size: int):
-    """Build the jitted step for one (image, patch-size) stage."""
+                  style: Optional[StyleLoss], patch_num: int, patch_size: int):
+    """Returns loss_fn(params, embedder, consts, rng) -> (loss, metrics)."""
     topk = cfg.num_real_patch_per_sample
     n_rand = cfg.N_rand
     use_cx = cfg.use_contextual_loss and contextual is not None
@@ -96,13 +99,13 @@ def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
     use_style = task.use_style and getattr(cfg, 'use_style_loss', False) \
         and style is not None
 
-    def mlp_rgb(mlp_params, coords):
+    def mlp_rgb(mlp_params, embedder, coords):
         from ..nn.mlp import render_activation
         emb = embedder.embed(coords.astype(jnp.float32))
         raw = model.apply({'params': mlp_params}, emb)
         return render_activation(raw, cfg.normalize_type)
 
-    def loss_fn(params, rng):
+    def loss_fn(params, embedder, consts: FitConsts, rng):
         k_pix, k_patch = jax.random.split(rng)
         batch: PatchBatch = sample_patches(
             k_patch, consts.sampler, patch_num, patch_size, topk,
@@ -117,12 +120,12 @@ def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
         # ---- one fused MLP forward over pixels + patch pixels
         patch_coords = batch.fake_coords.reshape(-1, 2)
         all_coords = jnp.concatenate([pix_coords, patch_coords], 0)
-        pred = mlp_rgb(params['mlp'], all_coords)
+        pred = mlp_rgb(params['mlp'], embedder, all_coords)
         pred_pix = pred[:n_rand]
         pred_patch = pred[n_rand:].reshape(patch_num, patch_size, patch_size, 3)
 
         metrics = {}
-        loss = 0.0
+        loss = jnp.float32(0.0)
         if not cfg.no_pix_loss:
             pix_loss = img2mse(pred_pix, gt_rgb, cfg.loss_type,
                                params['adaptive_pix'], gt_mask)
@@ -191,10 +194,21 @@ def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
         metrics['source'] = batch.source
         return loss, metrics
 
+    return loss_fn
+
+
+def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
+                  percep: Optional[LPIPS], contextual: Optional[ContextualLoss],
+                  style: Optional[StyleLoss], tx, patch_num: int,
+                  patch_size: int):
+    """Build the jitted single-image step for one (image, patch-size) stage."""
+    loss_fn = build_loss_fn(cfg, task, model, percep, contextual, style,
+                            patch_num, patch_size)
+
     @jax.jit
     def step_fn(state: FitState, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, rng)
+            state.params, embedder, consts, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics['loss'] = loss

@@ -1,0 +1,142 @@
+"""Multi-image batched fits: one compiled program advancing B independent
+per-image optimisations, sharded over the 'images' mesh axis.
+
+This replaces the reference's outer bash loop over examples
+(reference: run_completion.sh:1-14, one sequential process per image) with a
+single SPMD program: parameters, optimiser state and per-image constants are
+stacked on a leading batch axis, the per-image loss (models/trainer.py
+build_loss_fn) is vmapped, and the batch axis is sharded across chips with
+shard_map — each chip advances its shard of images; the only cross-chip
+traffic is the mean-metric psum.
+
+Images must share a shape bucket: same (H, W) after padding, same patch size,
+same pool padding — `pad_to_bucket` handles that. Rendering shards the pixel
+axis instead ('pixels'), the honest sequence-parallel axis of an INR.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.trainer import FitConsts, FitState, TaskSpec, build_loss_fn, make_schedule
+from ..nn.embedder import TaskEmbedder
+
+
+def stack_embedders(embedders: Sequence[TaskEmbedder]) -> TaskEmbedder:
+    """Stack per-image proposal geometry on a leading batch axis. Static
+    fields must agree across the batch."""
+    e0 = embedders[0]
+    return e0._replace(
+        angles=jnp.stack([e.angles for e in embedders]),
+        periods=jnp.stack([e.periods for e in embedders]))
+
+
+def stack_consts(consts: Sequence[FitConsts]) -> FitConsts:
+    """Stack per-image FitConsts pytrees (shapes must already agree)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *consts)
+
+
+def _embedder_batch_axes() -> TaskEmbedder:
+    """vmap in_axes spec: batch over angles/periods, broadcast the rest."""
+    return TaskEmbedder(freq_bands=None, angles=0, periods=0, res=None,
+                        freq_scales=None, freq_offsets=None, angle_offsets=None,
+                        out_dim=None, top1_dim=None)
+
+
+def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
+                          style, tx, patch_num: int, patch_size: int,
+                          mesh: Optional[Mesh] = None,
+                          images_axis: str = 'images'):
+    """Returns step(state, embedder_b, consts_b, rng) advancing all images.
+
+    state leaves carry a leading batch axis B (divisible by the mesh axis
+    size when a mesh is given).
+    """
+    loss_fn = build_loss_fn(cfg, task, model, percep, contextual, style,
+                            patch_num, patch_size)
+
+    def single(params, opt_state, embedder, consts, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, embedder, consts, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics['loss'] = loss
+        return params, opt_state, metrics
+
+    vstep = jax.vmap(single,
+                     in_axes=(0, 0, _embedder_batch_axes(), 0, 0))
+
+    def batched(state: FitState, embedder_b: TaskEmbedder,
+                consts_b: FitConsts, rng):
+        n = jax.tree.leaves(state.params)[0].shape[0]
+        rngs = jax.random.split(rng, n)
+        params, opt_state, metrics = vstep(state.params, state.opt_state,
+                                           embedder_b, consts_b, rngs)
+        mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+        return FitState(params, opt_state, state.step + 1), mean_metrics
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    # jit with explicit shardings: for a purely data-parallel step XLA
+    # partitions the vmapped program along the constrained leading axis; the
+    # metric means become cross-chip reductions over ICI.
+    @jax.jit
+    def run(state, embedder_b, consts_b, rng):
+        spec_b = NamedSharding(mesh, P(images_axis))
+        state = jax.lax.with_sharding_constraint(
+            state, jax.tree.map(lambda _: spec_b, state))
+        consts_b = jax.lax.with_sharding_constraint(
+            consts_b, jax.tree.map(lambda _: spec_b, consts_b))
+        return batched(state, embedder_b, consts_b, rng)
+
+    return run
+
+
+def init_batched_state(cfg, task: TaskSpec, model, embedders, rng, percep,
+                       style) -> Tuple[FitState, Any]:
+    """Per-image init (independent keys), stacked on the batch axis."""
+    from ..models.trainer import init_fit_state
+    states = []
+    tx = None
+    for i, e in enumerate(embedders):
+        st, tx = init_fit_state(cfg, task, model, e,
+                                jax.random.fold_in(rng, i), percep, style)
+        states.append(st)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    return stacked, tx
+
+
+def make_sharded_render(cfg, model, mesh: Mesh, pixels_axis: str = 'pixels',
+                        chunk: int = 1 << 13):
+    """Full-frame render with the coordinate axis sharded across devices —
+    each chip renders its slice of pixels; the output gather is XLA's."""
+    from ..nn.mlp import render_activation
+
+    n_dev = mesh.shape[pixels_axis]
+
+    @partial(jax.jit, static_argnames=('h', 'w'))
+    def render_image(params, embedder, h: int, w: int):
+        coords = jnp.stack(jnp.meshgrid(jnp.arange(h), jnp.arange(w),
+                                        indexing='ij'), -1).reshape(-1, 2)
+        n = coords.shape[0]
+        pad = (-n) % (n_dev * chunk)
+        coords = jnp.pad(coords, ((0, pad), (0, 0))).astype(jnp.float32)
+        coords = jax.lax.with_sharding_constraint(
+            coords, NamedSharding(mesh, P(pixels_axis, None)))
+
+        def body(c):
+            raw = model.apply({'params': params}, embedder.embed(c))
+            return render_activation(raw, cfg.normalize_type)
+
+        out = jax.lax.map(body, coords.reshape(-1, chunk, 2))
+        return out.reshape(-1, 3)[:n].reshape(h, w, 3)
+
+    return render_image

@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §2.3: images axis data-parallel, pixels axis for rendering)."""
+import jax
+import numpy as np
+import pytest
+
+
+def test_mesh_creation():
+    from npp_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(('images',))
+    assert mesh.shape['images'] == len(jax.devices())
+    mesh2 = make_mesh(('images', 'pixels'), (4, 2))
+    assert mesh2.shape == {'images': 4, 'pixels': 2}
+
+
+def test_dryrun_multichip_8():
+    """The driver's exact multi-chip validation path."""
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_forward():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (256, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_state_matches_individual_fits():
+    """One batched sharded step must equal per-image independent steps."""
+    import jax.numpy as jnp
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import make_fit_consts
+    from npp_tpu.models.trainer import init_fit_state, make_fit_step
+    from npp_tpu.parallel.batch import (init_batched_state,
+                                        make_batched_fit_step, stack_consts,
+                                        stack_embedders)
+    from npp_tpu.parallel.mesh import make_mesh, shard_leading_axis
+    from npp_tpu.nn.mlp import NPPNet
+    import __graft_entry__ as ge
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False)
+    n = 2
+    datas, embedders = [], []
+    for i in range(n):
+        d, e = ge._tiny_setup(cfg, patch_size=16)
+        datas.append(d)
+        embedders.append(e)
+    model = NPPNet(input_ch_periodic=embedders[0].top1_dim,
+                   input_ch_periodic_aux=embedders[0].out_dim -
+                   embedders[0].top1_dim,
+                   depth=cfg.netdepth, width=cfg.netwidth,
+                   activation=cfg.activation)
+
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+    state, tx = init_batched_state(cfg, COMPLETION_TASK, model, embedders,
+                                   jax.random.PRNGKey(0), None, None)
+    consts = stack_consts([
+        make_fit_consts(cfg, COMPLETION_TASK, d, 16) for d in datas])
+    step = make_batched_fit_step(cfg, COMPLETION_TASK, model, None, None,
+                                 None, tx, cfg.patch_num, 16, mesh=mesh)
+    new_state, metrics = step(shard_leading_axis(state, mesh),
+                              stack_embedders(embedders),
+                              shard_leading_axis(consts, mesh),
+                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    # params must differ per image (independent inits and rngs)
+    k0 = jax.tree.leaves(new_state.params['mlp'])[0]
+    assert not np.allclose(np.asarray(k0[0]), np.asarray(k0[1]))

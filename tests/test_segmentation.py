@@ -1,0 +1,87 @@
+"""SLIC, superpixel stats, and coarse-pipeline behaviour tests."""
+import numpy as np
+import pytest
+
+
+def test_rgb2lab_reference_values():
+    from npp_tpu.segmentation.slic import rgb2lab
+    import jax.numpy as jnp
+    # white -> L=100, a=b=0; black -> 0
+    lab = np.asarray(rgb2lab(jnp.asarray([[[1.0, 1.0, 1.0], [0, 0, 0]]])))
+    np.testing.assert_allclose(lab[0, 0], [100, 0, 0], atol=0.1)
+    np.testing.assert_allclose(lab[0, 1], [0, 0, 0], atol=0.1)
+    # pure red (sRGB) ~ L=53.24, a=80.09, b=67.2
+    lab = np.asarray(rgb2lab(jnp.asarray([[[1.0, 0.0, 0.0]]])))
+    np.testing.assert_allclose(lab[0, 0], [53.24, 80.09, 67.2], atol=0.5)
+
+
+def test_slic_two_tone_image():
+    from npp_tpu.segmentation.slic import slic_segment
+    rng = np.random.RandomState(0)
+    img = rng.rand(60, 80, 3) * 0.1
+    img[:, 40:] += 0.8
+    seg = slic_segment(img, sp_size=15, relative_compact=0.2)
+    assert seg.shape == (60, 80)
+    assert seg.min() >= 1
+    assert 5 <= len(np.unique(seg)) <= 40
+    # no superpixel should straddle the strong vertical boundary badly:
+    # check labels on far left never appear on far right
+    left, right = set(np.unique(seg[:, :20])), set(np.unique(seg[:, 60:]))
+    assert not (left & right)
+
+
+def test_slic_masked():
+    from npp_tpu.segmentation.slic import slic_segment
+    rng = np.random.RandomState(0)
+    img = rng.rand(50, 50, 3)
+    mask = np.zeros((50, 50), bool)
+    mask[10:40, 10:40] = True
+    seg = slic_segment(img, sp_size=10, relative_compact=0.2, mask=mask)
+    assert (seg[~mask] == 0).all()
+    assert seg[mask].min() >= 1
+
+
+def test_superpixel_stats_order_and_values():
+    from npp_tpu.segmentation.features import superpixel_color_stats
+    img = np.zeros((4, 4, 3))
+    img[:, :2] = [1.0, 2.0, 3.0]
+    seg = np.zeros((4, 4), int)
+    seg[:, 2:] = 1
+    f = superpixel_color_stats(img, seg)
+    assert f.shape == (2, 9)
+    np.testing.assert_allclose(f[0, :3], [1, 2, 3])   # mean
+    np.testing.assert_allclose(f[1, :3], [0, 0, 0])
+    np.testing.assert_allclose(f[0, 3:6], [1, 2, 3])  # median
+    
+
+def test_adjacency_edges():
+    from npp_tpu.segmentation.features import segment_adjacency_edges
+    seg = np.array([[0, 0, 1, 1], [2, 2, 3, 3]])
+    e = segment_adjacency_edges(seg)
+    assert {tuple(x) for x in e.tolist()} == {(0, 1), (0, 2), (1, 3), (2, 3)}
+
+
+def test_coarse_segment_two_tone():
+    from npp_tpu.segmentation.coarse import coarse_segment
+    rng = np.random.RandomState(0)
+    img = (rng.rand(80, 100, 3) * 0.2 * 255)
+    img[:, 50:] += 0.7 * 255
+    seg = coarse_segment(np.uint8(img), np.ones((80, 100), bool),
+                         nb_classes=2, sp_size=15, sp_regul=0.2)
+    assert seg.shape == (80, 100)
+    # the two halves should (mostly) get different labels
+    left = np.bincount(seg[:, :40].ravel(), minlength=2).argmax()
+    right = np.bincount(seg[:, 60:].ravel(), minlength=2).argmax()
+    assert left != right
+    acc = max(((seg[:, :40] == left).mean() + (seg[:, 60:] == right).mean()) / 2, 0)
+    assert acc > 0.9
+
+
+def test_remove_small_objects():
+    from npp_tpu.models.segmentation import remove_small_objects
+    m = np.zeros((40, 40), bool)
+    m[:20, :20] = True      # 400 px, kept with min_size 300
+    m[30:32, 30:32] = True  # 4 px, removed
+    out = remove_small_objects(m, min_size=300)
+    assert out[:20, :20].all()
+    assert not out[30:32, 30:32].any()
