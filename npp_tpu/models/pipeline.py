@@ -98,18 +98,43 @@ class FitResult:
 
 def fit_image(cfg, task: TaskSpec, data: TaskData,
               eval_hook: Optional[Callable[[int, FitState, Callable], None]] = None,
-              log_every: Optional[int] = None) -> FitResult:
+              log_every: Optional[int] = None,
+              checkpoint_dir: Optional[str] = None,
+              metrics_path: Optional[str] = None) -> FitResult:
     """The reference's per-task training loop as one driver
-    (reference: NPP_completion/train.py:133-264)."""
+    (reference: NPP_completion/train.py:133-264).
+
+    checkpoint_dir: save FitState every i_testset iters and resume from the
+    latest checkpoint if one exists (capability absent in the reference,
+    SURVEY.md §5). metrics_path: JSONL metric stream.
+    """
+    from ..utils.debug import MetricLogger
     comps = build_components(cfg, data, task)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, k_init = jax.random.split(rng)
     state, tx = init_fit_state(cfg, task, comps.model, comps.embedder, k_init,
                                comps.percep, comps.style)
     render = make_render(cfg, comps.model, comps.embedder)
+    logger = MetricLogger(metrics_path)
+
+    start_iter = 1
+    if checkpoint_dir:
+        from ..utils.checkpoint import latest_checkpoint, restore_fit_state
+        latest = latest_checkpoint(checkpoint_dir)
+        if latest:
+            state = restore_fit_state(latest, state)
+            start_iter = int(state.step) + 1
+            print(f'[fit] resumed from {latest} at iter {start_iter}')
 
     patch_size = data.patch_size
     patch_num = cfg.patch_num
+    # fast-forward the patch-size schedule when resuming
+    n_decays = 0 if start_iter <= cfg.patch_size_decay else \
+        (start_iter - 1) // cfg.patch_size_decay
+    for _ in range(n_decays):
+        if patch_size > 31:
+            patch_size //= 2
+            patch_num *= 2
     consts = make_fit_consts(cfg, task, data, patch_size)
     step_fn = make_fit_step(cfg, task, comps.model, comps.embedder, consts,
                             comps.percep, comps.contextual, comps.style, tx,
@@ -117,7 +142,7 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
 
     history: List[Dict[str, float]] = []
     t0 = time.time()
-    for i in range(1, cfg.N_iters):
+    for i in range(start_iter, cfg.N_iters):
         if (i % cfg.patch_size_decay == 0 and i != 1 and patch_size > 31
                 and cfg.N_iters - i > 10):
             # the trailing-iteration guard (no reference equivalent) skips a
@@ -136,12 +161,20 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
             m = {k_: float(v) for k_, v in metrics.items()}
             m['iter'] = i
             history.append(m)
+            logger.log(kind='train', task=task.name, **m)
             print(f"[{task.name}] iter {i} " +
                   " ".join(f"{k_}={v:.4g}" for k_, v in m.items() if k_ != 'iter'))
-        if eval_hook is not None and i % cfg.i_testset == 0 and i > 0:
-            eval_hook(i, state, render)
+        if i % cfg.i_testset == 0 and i > 0:
+            if eval_hook is not None:
+                eval_hook(i, state, render)
+            if checkpoint_dir:
+                from ..utils.checkpoint import save_fit_state
+                save_fit_state(f'{checkpoint_dir}/step_{i}', state)
     jax.block_until_ready(state.params)
     wall = time.time() - t0
+    logger.log(kind='fit_done', task=task.name, wall_time_s=wall,
+               iters=cfg.N_iters - start_iter)
+    logger.close()
     return FitResult(state=state, render=render, components=comps,
                      history=history, wall_time_s=wall,
-                     iters_per_sec=(cfg.N_iters - 1) / max(wall, 1e-9))
+                     iters_per_sec=(cfg.N_iters - start_iter) / max(wall, 1e-9))
