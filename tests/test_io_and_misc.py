@@ -1,0 +1,102 @@
+"""IO round-trips, blur detection, CLI config building, visualizer."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_odgt_roundtrip(tmp_path):
+    from npp_tpu.utils.io import read_odgt, write_odgt
+    rec = {
+        'fpath_masked_img': 'somewhere/masked_img.png',
+        'fpath_gt_img': ['somewhere/gt_img.png'],
+        'selected_angles': [[100.0, 170.0]],
+        'selected_periods': [[30.0, 40.0]],
+        'selected_shifts': [[[30.0, 0.0], [0.0, 40.0]]],
+        'distances': [0.5],
+    }
+    write_odgt(str(tmp_path), rec)
+    back = read_odgt(str(tmp_path))
+    assert back['selected_periods'] == [[30.0, 40.0]]
+    # fpaths are remapped into the datadir (reference loaders.py:67-80)
+    assert back['fpath_masked_img'] == os.path.join(str(tmp_path), 'masked_img.png')
+    assert back['fpath_gt_img'] == os.path.join(str(tmp_path), 'gt_img.png')
+
+
+def test_patch_size_formula():
+    from npp_tpu.utils.io import patch_size_from_periods
+    # clip(ceil32(max period), 64, 160) (reference: loaders.py:130-134)
+    assert patch_size_from_periods([[30.0, 40.0]]) == 64
+    assert patch_size_from_periods([[100.0, 90.0]]) == 128
+    assert patch_size_from_periods([[300.0, 10.0]]) == 160
+    assert patch_size_from_periods([[64.0, 10.0]]) == 96  # 64 + (32 - 0) = 96
+
+
+def test_image_io_roundtrip(tmp_path):
+    from npp_tpu.utils.io import read_rgb, write_rgb
+    img = np.random.RandomState(0).rand(10, 12, 3)
+    p = str(tmp_path / 'x.png')
+    write_rgb(p, img)
+    back = read_rgb(p)
+    np.testing.assert_allclose(back, img, atol=1 / 255 + 1e-6)
+
+
+def test_blur_map_detects_sharp_region():
+    from npp_tpu.ops.blur import blur_map
+    import cv2
+    rng = np.random.RandomState(0)
+    img = np.zeros((80, 80, 3))
+    # sharp texture on the left, smooth on the right
+    img[:, :40] = rng.rand(80, 40, 1)
+    img[:, 40:] = 0.5
+    u8 = np.uint8(img * 255)
+    degree, clear = blur_map(u8, thresh=50)
+    assert degree.shape == (80, 80)
+    # degree in [0,1], and binary output is 0/255
+    assert 0 <= degree.min() and degree.max() <= 1
+    assert set(np.unique(clear)).issubset({0.0, 255.0})
+
+
+def test_blur_with_mask_preserves_masked_zero():
+    from npp_tpu.ops.blur import blur_with_mask
+    img = np.ones((20, 20, 3)) * 200
+    mask = np.ones((20, 20, 1))
+    mask[:5] = 0
+    out = blur_with_mask(img, mask)
+    assert np.allclose(out[:5], 0)
+    assert np.allclose(out[10:, :], 200, atol=1)
+
+
+def test_cli_config_building():
+    from npp_tpu.cli import build_config
+    from npp_tpu.config import CompletionConfig
+    cfg = build_config(CompletionConfig, [
+        '--N_iters', '500', '--datadir', '/x', '--use_comp', 'false',
+        '--lrate', '1e-3'])
+    assert cfg.N_iters == 500 and cfg.datadir == '/x'
+    assert cfg.use_comp is False and cfg.lrate == pytest.approx(1e-3)
+    with pytest.raises(SystemExit):
+        build_config(CompletionConfig, ['--nope', '1'])
+
+
+def test_grid_program_draws_lattice():
+    from npp_tpu.utils.visualizer import GridProgram, mask2ltrb
+    img = np.zeros((64, 64, 3), np.uint8)
+    gp = GridProgram(resolution=(64, 64), base_point=(10, 10),
+                     first_shift=(16.0, 0.0), second_shift=(0.0, 16.0))
+    drawn, line_mask = gp.draw(img)
+    assert line_mask.sum() > 0
+    assert drawn.max() > 0
+    assert mask2ltrb(np.pad(np.ones((4, 6)), ((2, 3), (5, 1)))).tolist() == \
+        [5, 2, 10, 5]
+
+
+def test_pretrained_registry_fallback_flagged():
+    from npp_tpu.nn.pretrained import weight_reports
+    from npp_tpu.losses.lpips import LPIPS
+    LPIPS(net='vgg')
+    reports = weight_reports()
+    assert 'vgg16' in reports
+    # in this environment the tower falls back; the lin heads are assets
+    assert reports['lpips_lin_vgg'].pretrained

@@ -71,3 +71,30 @@ def test_batched_state_matches_individual_fits():
     # params must differ per image (independent inits and rngs)
     k0 = jax.tree.leaves(new_state.params['mlp'])[0]
     assert not np.allclose(np.asarray(k0[0]), np.asarray(k0[1]))
+
+
+def test_fit_images_bucketed_runner():
+    """Two differently-sized tiny images padded into one bucket, fit
+    concurrently on the virtual mesh."""
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+    import dataclasses
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False)
+    d1 = tiny_data(40, 48)
+    d2 = tiny_data(36, 44)
+    d1 = dataclasses.replace(d1, patch_size=16)
+    d2 = dataclasses.replace(d2, patch_size=16)
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+    states = fit_images(cfg, COMPLETION_TASK, [d1, d2], n_iters=3, mesh=mesh,
+                        canvas_multiple=16)
+    assert len(states) == 2
+    assert all(int(s.step) == 3 for s in states)
+    k1 = jax.tree.leaves(states[0].params['mlp'])[0]
+    k2 = jax.tree.leaves(states[1].params['mlp'])[0]
+    assert not np.allclose(np.asarray(k1), np.asarray(k2))
