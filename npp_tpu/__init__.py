@@ -14,7 +14,15 @@ def enable_compilation_cache(path: str | None = None) -> None:
     """Persist compiled executables across processes. The per-image fit
     compiles a handful of large programs (fit step per patch-size stage,
     renderer, ranking scan); caching makes every run after the first start in
-    seconds instead of minutes."""
+    seconds instead of minutes.
+
+    No-op under a remote-compile TPU relay (PALLAS_AXON_REMOTE_COMPILE=1):
+    serialising multi-hundred-MB executables through the relay stalls for
+    minutes and can wedge the process; set NPP_TPU_FORCE_CACHE=1 to override.
+    """
+    if (_os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+            and not _os.environ.get("NPP_TPU_FORCE_CACHE")):
+        return
     import jax
 
     path = path or _os.environ.get(

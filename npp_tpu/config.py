@@ -37,6 +37,9 @@ class BaseConfig:
     # TPU-specific knobs (no reference equivalent)
     matmul_precision: str = "default"   # 'default' | 'float32' | 'bfloat16'
     feature_dtype: str = "float32"      # dtype for pretrained conv towers
+    canvas_multiple: int = 64           # pad images to this multiple so
+                                        # compiled executables are shared
+                                        # across image sizes (0 = off)
 
 
 @dataclass(frozen=True)

@@ -34,6 +34,15 @@ def compute_cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - sim
 
 
+def compute_l1_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(reference: functional.py:189-205), NHWC inputs."""
+    n, h, w, c = x.shape
+    xv = x.reshape(n, h * w, c)
+    yv = y.reshape(n, h * w, c)
+    dist = jnp.sum(jnp.abs(xv[:, :, None, :] - yv[:, None, :, :]), axis=-1)
+    return jnp.maximum(dist, 0.0) / (c + 1e-8)
+
+
 def compute_l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """(reference: functional.py:166-186), NHWC inputs."""
     n, h, w, c = x.shape
@@ -69,6 +78,8 @@ def contextual_loss(x: jnp.ndarray, y: jnp.ndarray, band_width: float = 0.5,
     """
     if loss_type == 'cosine':
         dist_raw = compute_cosine_distance(x, y)
+    elif loss_type == 'l1':
+        dist_raw = compute_l1_distance(x, y)
     elif loss_type == 'l2':
         dist_raw = compute_l2_distance(x, y)
     else:

@@ -34,11 +34,12 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str
 
     tc = data.i_train
     vc = data.i_val
+    oh, ow = data.orig_shape
     out = {
-        'pred_rgb_train_img': np.asarray(train_img),
-        'pred_rgb_val_img': np.asarray(val_img),
-        'pred_rgb_img': np.asarray(pred * valid),
-        'pred_rgb_img_comp': np.asarray(comp),
+        'pred_rgb_train_img': np.asarray(train_img)[:oh, :ow],
+        'pred_rgb_val_img': np.asarray(val_img)[:oh, :ow],
+        'pred_rgb_img': np.asarray(pred * valid)[:oh, :ow],
+        'pred_rgb_img_comp': np.asarray(comp)[:oh, :ow],
     }
     if len(tc):
         pt = pred[tc[:, 0], tc[:, 1]]
@@ -74,10 +75,11 @@ def run_completion(cfg, save: bool = True):
             for key in ('pred_rgb_train_img', 'pred_rgb_val_img',
                         'pred_rgb_img', 'pred_rgb_img_comp'):
                 write_rgb(os.path.join(d, f'{key}.png'), res[key])
+            oh, ow = data.orig_shape
             write_rgb(os.path.join(d, 'gt_rgb_img.png'),
-                      data.img * data.valid_mask)
+                      (data.img * data.valid_mask)[:oh, :ow])
             write_rgb(os.path.join(d, 'input_rgb_img.png'),
-                      data.masked_img * data.valid_mask)
+                      (data.masked_img * data.valid_mask)[:oh, :ow])
 
     result = fit_image(cfg, COMPLETION_TASK, data, eval_hook=eval_hook,
                        log_every=cfg.i_print)

@@ -28,6 +28,36 @@ class TaskData:
     patch_size: int
     extra: dict = dataclasses.field(default_factory=dict)
 
+    @property
+    def orig_shape(self):
+        return self.extra.get('orig_shape', self.img.shape[:2])
+
+
+def pad_canvas(data: TaskData, multiple: int) -> TaskData:
+    """Pad all image-shaped arrays to a multiple-of-`multiple` canvas so
+    compiled fit/render executables are shared across image sizes. The pad
+    region is invalid (valid_mask = 0) and appears in no coordinate pool;
+    crop outputs back with data.orig_shape."""
+    if multiple <= 0:
+        return data
+    h, w = data.img.shape[:2]
+    hh = -(-h // multiple) * multiple
+    ww = -(-w // multiple) * multiple
+    if (hh, ww) == (h, w):
+        data.extra.setdefault('orig_shape', (h, w))
+        return data
+
+    def pad(x):
+        return np.pad(x, ((0, hh - h), (0, ww - w), (0, 0)))
+
+    extra = {k: (pad(v) if isinstance(v, np.ndarray) and v.ndim == 3
+                 and v.shape[:2] == (h, w) else v)
+             for k, v in data.extra.items()}
+    extra['orig_shape'] = (h, w)
+    return dataclasses.replace(
+        data, img=pad(data.img), masked_img=pad(data.masked_img),
+        mask=pad(data.mask), valid_mask=pad(data.valid_mask), extra=extra)
+
 
 def _topk_periodicity(info: dict, p_topk: int):
     return (info['selected_shifts'][:p_topk], info['selected_angles'][:p_topk],
@@ -53,11 +83,12 @@ def load_completion(cfg) -> TaskData:
         img = (img - 0.5) * 2
 
     shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
-    return TaskData(img=img, masked_img=masked_img, mask=mask,
-                    valid_mask=valid_mask, i_train=train, i_val=val,
-                    selected_shifts=shifts, selected_angles=angles,
-                    selected_periods=periods,
-                    patch_size=patch_size_from_periods(periods))
+    return pad_canvas(TaskData(img=img, masked_img=masked_img, mask=mask,
+                               valid_mask=valid_mask, i_train=train, i_val=val,
+                               selected_shifts=shifts, selected_angles=angles,
+                               selected_periods=periods,
+                               patch_size=patch_size_from_periods(periods)),
+                      cfg.canvas_multiple)
 
 
 def load_remapping(cfg) -> TaskData:
@@ -78,12 +109,13 @@ def load_remapping(cfg) -> TaskData:
     val = np.stack(np.nonzero((clear_mask * valid_mask)[..., 0]), 1)
 
     shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
-    return TaskData(img=img, masked_img=img, mask=clear_mask,
-                    valid_mask=valid_mask, i_train=train, i_val=val,
-                    selected_shifts=shifts, selected_angles=angles,
-                    selected_periods=periods,
-                    patch_size=patch_size_from_periods(periods),
-                    extra={'clear_mask': clear_mask})
+    return pad_canvas(TaskData(img=img, masked_img=img, mask=clear_mask,
+                               valid_mask=valid_mask, i_train=train, i_val=val,
+                               selected_shifts=shifts, selected_angles=angles,
+                               selected_periods=periods,
+                               patch_size=patch_size_from_periods(periods),
+                               extra={'clear_mask': clear_mask}),
+                      cfg.canvas_multiple)
 
 
 def load_segmentation(cfg) -> TaskData:
@@ -117,11 +149,13 @@ def load_segmentation(cfg) -> TaskData:
     val = np.stack(np.nonzero(((1 - period_mask) * valid_mask)[..., 0]), 1)
 
     shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
-    return TaskData(img=img, masked_img=blur_img, mask=period_mask,
-                    valid_mask=valid_mask, i_train=train, i_val=val,
-                    selected_shifts=shifts, selected_angles=angles,
-                    selected_periods=periods,
-                    patch_size=patch_size_from_periods(periods),
-                    extra={'blur_img': blur_img, 'period_mask': period_mask,
-                           'non_period_mask': non_period_mask,
-                           'coarse_seg': seg})
+    return pad_canvas(TaskData(img=img, masked_img=blur_img, mask=period_mask,
+                               valid_mask=valid_mask, i_train=train, i_val=val,
+                               selected_shifts=shifts, selected_angles=angles,
+                               selected_periods=periods,
+                               patch_size=patch_size_from_periods(periods),
+                               extra={'blur_img': blur_img,
+                                      'period_mask': period_mask,
+                                      'non_period_mask': non_period_mask,
+                                      'coarse_seg': seg}),
+                      cfg.canvas_multiple)

@@ -28,10 +28,11 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str
     img = jnp.asarray(data.img, jnp.float32)
     clear = jnp.asarray(data.extra['clear_mask'], jnp.float32)
 
+    oh, ow = data.orig_shape
     out = {
-        'pred_rgb_train_img': np.asarray(pred * valid),
-        'pred_rgb_val_img': np.asarray(pred * clear * valid),
-        'pred_rgb_img': np.asarray(pred * valid),
+        'pred_rgb_train_img': np.asarray(pred * valid)[:oh, :ow],
+        'pred_rgb_val_img': np.asarray(pred * clear * valid)[:oh, :ow],
+        'pred_rgb_img': np.asarray(pred * valid)[:oh, :ow],
     }
     tc, vc = data.i_train, data.i_val
     if len(tc):
@@ -51,8 +52,9 @@ def run_remapping(cfg, save: bool = True):
     expname = f'{cfg.expname}_top{cfg.p_topk}'
     save_dir = os.path.join(cfg.basedir, expname, name)
     if save:
+        oh, ow = data.orig_shape
         write_gray(os.path.join(save_dir, 'blur_mask.png'),
-                   data.extra['clear_mask'])
+                   data.extra['clear_mask'][:oh, :ow])
 
     evals = {}
 
@@ -67,8 +69,9 @@ def run_remapping(cfg, save: bool = True):
             d = os.path.join(save_dir, f'testset_{i:06d}')
             for key in ('pred_rgb_train_img', 'pred_rgb_val_img', 'pred_rgb_img'):
                 write_rgb(os.path.join(d, f'{key}.png'), res[key])
+            oh, ow = data.orig_shape
             write_rgb(os.path.join(d, 'gt_rgb_img.png'),
-                      data.img * data.valid_mask)
+                      (data.img * data.valid_mask)[:oh, :ow])
 
     result = fit_image(cfg, REMAPPING_TASK, data, eval_hook=eval_hook,
                        log_every=cfg.i_print)

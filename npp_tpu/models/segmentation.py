@@ -70,10 +70,11 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
     non_period_final = ndimage.binary_fill_holes(non_period_final)
     non_period_final = remove_small_objects(non_period_final, min_size=500,
                                             connectivity=1)
+    oh, ow = data.orig_shape
     return {
-        'non_period_mask': non_period_final.astype(np.float64)[..., None],
-        'l1_img': l1_img * valid[..., 0],
-        'lpips_maps': lpips_maps,
+        'non_period_mask': non_period_final.astype(np.float64)[:oh, :ow, None],
+        'l1_img': (l1_img * valid[..., 0])[:oh, :ow],
+        'lpips_maps': [m[:oh, :ow] for m in lpips_maps],
     }
 
 
@@ -92,8 +93,9 @@ def run_segmentation(cfg, save: bool = True):
     expname = f'{cfg.expname}_top{cfg.p_topk}'
     save_dir = os.path.join(cfg.basedir, expname, name)
     if save:
+        oh, ow = data.orig_shape
         write_gray(os.path.join(save_dir, 'segment_init.png'),
-                   (data.extra['non_period_mask'] > 0).astype(np.float64))
+                   (data.extra['non_period_mask'] > 0).astype(np.float64)[:oh, :ow])
 
     lpips_alex = LPIPS(net='alex')
     results = {}
@@ -111,11 +113,12 @@ def run_segmentation(cfg, save: bool = True):
             for j, lp in enumerate(res['lpips_maps']):
                 write_gray(os.path.join(d, f'lpips_diff_img_{j}.png'),
                            np.clip(lp, 0, 1))
+            oh, ow = data.orig_shape
             write_rgb(os.path.join(d, 'segment.png'),
-                      overlay(data.img, res['non_period_mask'],
-                              data.valid_mask))
+                      overlay(data.img[:oh, :ow], res['non_period_mask'],
+                              data.valid_mask[:oh, :ow]))
             write_rgb(os.path.join(d, 'pred_rgb_img.png'),
-                      pred * data.valid_mask)
+                      (pred * data.valid_mask)[:oh, :ow])
 
     result = fit_image(cfg, SEGMENTATION_TASK, data, eval_hook=eval_hook,
                        log_every=cfg.i_print)

@@ -151,6 +151,10 @@ class TaskEmbedder(NamedTuple):
             p = periodic_warp(coords_yx, angles, periods, self.freq_scales,
                               self.freq_offsets, self.angle_offsets, self.res,
                               include_input=True)
+            if self.freq_bands is None:
+                # i_embed == -1: identity Fourier stage
+                # (reference: embedder.py:60-63)
+                return p
             return fourier_encode(p, self.freq_bands, include_input=True)
         # vmap over the K proposals, then lay out as (N, K*D) with proposal-major
         # blocks, identical to the reference's torch.cat over the K embeddings.
@@ -166,12 +170,12 @@ def make_task_embedder(cfg, proposals_angles, proposals_periods,
     draws them from the global torch RNG at model-creation time,
     reference: embedder.py:26, models/helpers.py:87).
     """
-    bands = gaussian_freq_bands(key, cfg.multires)
+    bands = None if cfg.i_embed == -1 else gaussian_freq_bands(key, cfg.multires)
     angles = jnp.asarray(proposals_angles, jnp.float32).reshape(-1, 2)[: cfg.p_topk]
     periods = jnp.asarray(proposals_periods, jnp.float32).reshape(-1, 2)[: cfg.p_topk]
     from ..config import nerf_embed_dim, periodic_embed_dim
     pdim = periodic_embed_dim(cfg, include_input=True)
-    ndim = nerf_embed_dim(cfg, 1, include_input=True)  # per-channel factor (21)
+    ndim = 1 if cfg.i_embed == -1 else nerf_embed_dim(cfg, 1, include_input=True)
     return TaskEmbedder(
         freq_bands=bands, angles=angles, periods=periods, res=res,
         freq_scales=tuple(cfg.freq_scales), freq_offsets=tuple(cfg.freq_offsets),

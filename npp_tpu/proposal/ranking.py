@@ -69,7 +69,14 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     opt_state = tx.init(params)
 
     img = jnp.asarray(masked_img, jnp.float32)
-    train_pool = jnp.asarray(np.asarray(i_train, np.int32))
+    # pad the pool to a power-of-two length (executable reuse across images);
+    # the true count bounds the randint so repeats are never oversampled
+    pool_np = np.asarray(i_train, np.int32)
+    n_true = len(pool_np)
+    target = int(2 ** np.ceil(np.log2(max(n_true, 1))))
+    reps = -(-target // max(n_true, 1))
+    train_pool = jnp.asarray(np.tile(pool_np, (reps, 1))[:target])
+    n_pool = jnp.asarray(n_true, jnp.int32)
 
     def one_cand_loss(p, ang, per, coords, gt):
         e_pos = embed_pos(coords)
@@ -80,7 +87,7 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
 
     def scan_step(carry, key):
         params, opt_state = carry
-        idx = jax.random.randint(key, (cfg.N_rand,), 0, train_pool.shape[0])
+        idx = jax.random.randint(key, (cfg.N_rand,), 0, n_pool)
         coords = train_pool[idx].astype(jnp.float32)
         gt = img[train_pool[idx][:, 0], train_pool[idx][:, 1]]
 

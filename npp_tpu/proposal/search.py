@@ -28,6 +28,17 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
     unknown_mask = data['unknown_mask']
     valid_mask = data['valid_mask']
 
+    # pad to a shared canvas so ranking executables are reused across images
+    # (pad region is invalid: contributes nothing to detection or ranking)
+    oh, ow = masked_img.shape[:2]
+    m = getattr(cfg, 'canvas_multiple', 0)
+    if m and (oh % m or ow % m):
+        hh, ww = -(-oh // m) * m, -(-ow // m) * m
+        pad3 = ((0, hh - oh), (0, ww - ow), (0, 0))
+        masked_img = np.pad(masked_img, pad3)
+        unknown_mask = np.pad(unknown_mask, pad3)
+        valid_mask = np.pad(valid_mask, pad3)
+
     # ---- candidate detection (reference: loaders.py:28-32)
     all_angles, all_periods, all_shifts = search_periodicity_by_feat(
         np.uint8(masked_img * 255),
@@ -72,6 +83,10 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
     }
 
     # ---- lattice visualisations (reference: search.py:249-269)
+    # crop the padded canvas back before writing artefacts
+    masked_img = masked_img[:oh, :ow]
+    unknown_mask = unknown_mask[:oh, :ow]
+    valid_mask = valid_mask[:oh, :ow]
     ltrb = mask2ltrb(valid_mask[..., 0])
     vis_img = np.uint8(masked_img * 255)
     for i in range(k):
