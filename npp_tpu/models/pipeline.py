@@ -126,6 +126,8 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
             start_iter = int(state.step) + 1
             print(f'[fit] resumed from {latest} at iter {start_iter}')
 
+    import math
+
     patch_size = data.patch_size
     patch_num = cfg.patch_num
     # fast-forward the patch-size schedule when resuming
@@ -135,41 +137,75 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
         if patch_size > 31:
             patch_size //= 2
             patch_num *= 2
-    consts = make_fit_consts(cfg, task, data, patch_size)
-    step_fn = make_fit_step(cfg, task, comps.model, comps.embedder, consts,
-                            comps.percep, comps.contextual, comps.style, tx,
-                            patch_num, patch_size)
+
+    # scan-block size: the gcd of the event cadences, so eval/log boundaries
+    # fall between blocks. Blocks amortise per-call dispatch latency (a real
+    # cost behind a relay tunnel); patch-size decays apply at block starts
+    # (at most `block-1` iterations later than the reference's schedule —
+    # immaterial, and the reference's own final-step decay is skipped anyway).
+    block = math.gcd(cfg.i_testset, log_every or cfg.i_testset)
+    use_blocks = block >= 8
+
+    def build_step(ps, pn, blk):
+        consts = make_fit_consts(cfg, task, data, ps)
+        if blk:
+            from .trainer import make_fit_block
+            return make_fit_block(cfg, task, comps.model, comps.embedder,
+                                  consts, comps.percep, comps.contextual,
+                                  comps.style, tx, pn, ps, blk)
+        return make_fit_step(cfg, task, comps.model, comps.embedder, consts,
+                             comps.percep, comps.contextual, comps.style, tx,
+                             pn, ps)
+
+    step_fn = build_step(patch_size, patch_num, block if use_blocks else 0)
+    single_step_fn = None
 
     history: List[Dict[str, float]] = []
     t0 = time.time()
-    for i in range(start_iter, cfg.N_iters):
-        if (i % cfg.patch_size_decay == 0 and i != 1 and patch_size > 31
-                and cfg.N_iters - i > 10):
-            # the trailing-iteration guard (no reference equivalent) skips a
-            # full recompile when the decay lands within the last few steps
-            # (e.g. N_iters=2001 with decay=2000 re-stages for ONE iteration,
-            # reference: NPP_completion/train.py:137-141)
+
+    def maybe_decay(i0: int):
+        nonlocal patch_size, patch_num, step_fn, single_step_fn, n_decays
+        due = (i0 - 1) // cfg.patch_size_decay if i0 > 1 else 0
+        if due > n_decays and patch_size > 31 and cfg.N_iters - i0 > 10:
+            n_decays = due
             patch_size //= 2
             patch_num *= 2
-            consts = make_fit_consts(cfg, task, data, patch_size)
-            step_fn = make_fit_step(cfg, task, comps.model, comps.embedder,
-                                    consts, comps.percep, comps.contextual,
-                                    comps.style, tx, patch_num, patch_size)
-        rng, k = jax.random.split(rng)
-        state, metrics = step_fn(state, k)
+            step_fn = build_step(patch_size, patch_num,
+                                 block if use_blocks else 0)
+            single_step_fn = None
+
+    def post_step(i, state, metrics):
         if log_every and i % log_every == 0:
             m = {k_: float(v) for k_, v in metrics.items()}
             m['iter'] = i
             history.append(m)
             logger.log(kind='train', task=task.name, **m)
             print(f"[{task.name}] iter {i} " +
-                  " ".join(f"{k_}={v:.4g}" for k_, v in m.items() if k_ != 'iter'))
+                  " ".join(f"{k_}={v:.4g}" for k_, v in m.items()
+                           if k_ != 'iter'))
         if i % cfg.i_testset == 0 and i > 0:
             if eval_hook is not None:
                 eval_hook(i, state, render)
             if checkpoint_dir:
                 from ..utils.checkpoint import save_fit_state
                 save_fit_state(f'{checkpoint_dir}/step_{i}', state)
+
+    i = start_iter
+    while i < cfg.N_iters:
+        maybe_decay(i)
+        remaining = cfg.N_iters - i
+        if use_blocks and remaining >= block and (i - 1) % block == 0:
+            rng, k = jax.random.split(rng)
+            state, metrics = step_fn(state, k)
+            i += block
+            post_step(i - 1, state, metrics)
+        else:
+            if single_step_fn is None:
+                single_step_fn = build_step(patch_size, patch_num, 0)
+            rng, k = jax.random.split(rng)
+            state, metrics = single_step_fn(state, k)
+            post_step(i, state, metrics)
+            i += 1
     jax.block_until_ready(state.params)
     wall = time.time() - t0
     logger.log(kind='fit_done', task=task.name, wall_time_s=wall,

@@ -197,15 +197,13 @@ def build_loss_fn(cfg, task: TaskSpec, model,
     return loss_fn
 
 
-def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
-                  percep: Optional[LPIPS], contextual: Optional[ContextualLoss],
-                  style: Optional[StyleLoss], tx, patch_num: int,
-                  patch_size: int):
-    """Build the jitted single-image step for one (image, patch-size) stage."""
+def make_fit_step_core(cfg, task: TaskSpec, model, embedder,
+                       consts: FitConsts, percep, contextual, style, tx,
+                       patch_num: int, patch_size: int):
+    """Un-jitted single step (state, rng) -> (state, metrics)."""
     loss_fn = build_loss_fn(cfg, task, model, percep, contextual, style,
                             patch_num, patch_size)
 
-    @jax.jit
     def step_fn(state: FitState, rng):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, embedder, consts, rng)
@@ -215,6 +213,41 @@ def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
         return FitState(params, opt_state, state.step + 1), metrics
 
     return step_fn
+
+
+def make_fit_step(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
+                  percep: Optional[LPIPS], contextual: Optional[ContextualLoss],
+                  style: Optional[StyleLoss], tx, patch_num: int,
+                  patch_size: int):
+    """Build the jitted single-image step for one (image, patch-size) stage."""
+    return jax.jit(make_fit_step_core(cfg, task, model, embedder, consts,
+                                      percep, contextual, style, tx,
+                                      patch_num, patch_size))
+
+
+def make_fit_block(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
+                   percep, contextual, style, tx, patch_num: int,
+                   patch_size: int, block: int):
+    """`block` optimisation steps per device call via lax.scan — amortises
+    host->device dispatch (significant behind a relay tunnel: per-call
+    latency would otherwise bound throughput, not compute). Returns
+    run_block(state, rng) -> (state, last-step metrics)."""
+    core = make_fit_step_core(cfg, task, model, embedder, consts, percep,
+                              contextual, style, tx, patch_num, patch_size)
+
+    @jax.jit
+    def run_block(state: FitState, rng):
+        keys = jax.random.split(rng, block)
+
+        def body(st, k):
+            st, metrics = core(st, k)
+            return st, metrics
+
+        state, metrics_seq = jax.lax.scan(body, state, keys)
+        last = jax.tree.map(lambda x: x[-1], metrics_seq)
+        return state, last
+
+    return run_block
 
 
 def make_render(cfg, model, embedder, chunk: int = 1 << 16):

@@ -118,8 +118,14 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     pad = (-len(val)) % chunk
     val_pad = jnp.pad(val_j, ((0, pad), (0, 0))).reshape(-1, chunk, 2)
 
+    gt_canvas = jnp.zeros((h, w, 3)).at[val_j[:, 0], val_j[:, 1]].set(
+        img[val_j[:, 0], val_j[:, 1]])
+    gt_crop = gt_canvas[hmin:hmax, wmin:wmax][None]
+
     @jax.jit
-    def render_val(p, ang, per):
+    def eval_candidate(p, ang, per):
+        """Render the held-out region and score 30*LPIPS + 1*CX, fully
+        compiled (one program reused by all candidates)."""
         def body(c):
             cf = c.astype(jnp.float32)
             raw = model.apply({'params': p['mlp']}, embed_pos(cf),
@@ -127,21 +133,17 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
             return render_activation(raw, cfg.normalize_type)
         out = jax.lax.map(body, val_pad).reshape(-1, 3)[:len(val)]
         canvas = jnp.zeros((h, w, 3))
-        return canvas.at[val_j[:, 0], val_j[:, 1]].set(out)
-
-    gt_canvas = jnp.zeros((h, w, 3)).at[val_j[:, 0], val_j[:, 1]].set(
-        img[val_j[:, 0], val_j[:, 1]])
-    gt_crop = gt_canvas[hmin:hmax, wmin:wmax][None]
+        pred = canvas.at[val_j[:, 0], val_j[:, 1]].set(out)
+        pred_crop = pred[hmin:hmax, wmin:wmax][None]
+        val_percep = jnp.mean(percep(pred_crop, gt_crop, use_robust=False))
+        val_cx = contextual(pred_crop, gt_crop)
+        return (val_percep * cfg.perceptual_weight +
+                val_cx * cfg.contextual_weight)
 
     distances = []
     for c in range(n_cand):
         p_c = jax.tree.map(lambda x: x[c], params)
-        pred = render_val(p_c, angles[c], periods[c])
-        pred_crop = pred[hmin:hmax, wmin:wmax][None]
-        val_percep = jnp.mean(percep(pred_crop, gt_crop, use_robust=False))
-        val_cx = contextual(pred_crop, gt_crop)
-        d = float(val_percep * cfg.perceptual_weight +
-                  val_cx * cfg.contextual_weight)
+        d = float(eval_candidate(p_c, angles[c], periods[c]))
         distances.append(d)
         print(f'[search] candidate {c + 1}/{n_cand} distance={d:.4f}')
     return np.asarray(distances)
