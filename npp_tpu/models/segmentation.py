@@ -54,10 +54,24 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
                               use_robust=False, normalize=True, spatial=True,
                               ret_per_layer=True)
 
+    # The reference's lpips_thresh (0.3) is calibrated for the pretrained
+    # AlexNet LPIPS. When the tower runs on fallback random weights (no
+    # torchvision in the environment) the spatial maps are uncalibrated, so
+    # rescale them per image: the 95th percentile of the map over the
+    # well-fit periodic train region maps to half the threshold. With
+    # converted pretrained weights this branch is inactive.
+    from ..nn.pretrained import weight_reports
+    rep = weight_reports().get('alexnet_tv')
+    autocal = rep is not None and not rep.pretrained
+    periodic_ref = (data.mask[..., 0] > 0.5) & (valid[..., 0] > 0.5)
+
     non_period_final = None
     lpips_maps = []
     for i in range(cfg.lpips_layers):
         lp = np.asarray(per_layer[i][0, ..., 0])
+        if autocal and periodic_ref.any():
+            p95 = float(np.percentile(lp[periodic_ref], 95))
+            lp = lp * (0.5 * cfg.lpips_thresh / max(p95, 1e-8))
         lp_np = non_period * lp
         lpips_maps.append(lp_np)
         lp_ok = lp_np < cfg.lpips_thresh

@@ -39,7 +39,13 @@ def build_pseudo_split(mask: np.ndarray, valid_mask: np.ndarray
     pseudo = np.ones_like(mask)
     for c, d in zip(centroids, dist):
         half = int(d / np.sqrt(2) / 1.2)
-        pseudo[c[0] - half: c[0] + half, c[1] - half: c[1] + half] = 0
+        # clip to bounds: the reference's raw slice (loaders.py:47) silently
+        # produces an EMPTY window when a centroid sits within `half` of the
+        # border (negative python slice), which downstream crashes on an
+        # empty val set
+        y0, y1 = max(0, c[0] - half), max(0, c[0] + half)
+        x0, x1 = max(0, c[1] - half), max(0, c[1] + half)
+        pseudo[y0:y1, x0:x1] = 0
     known = (mask * valid_mask)[..., 0] if mask.ndim == 3 else mask * valid_mask
     p2d = pseudo[..., 0] if pseudo.ndim == 3 else pseudo
     i_train = np.stack(np.nonzero(p2d * known), 1)

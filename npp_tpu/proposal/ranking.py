@@ -112,6 +112,15 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     val = np.asarray(i_val, np.int64)
     hmin, hmax = int(val[:, 0].min()), int(val[:, 0].max())
     wmin, wmax = int(val[:, 1].min()), int(val[:, 1].max())
+    # the deepest VGG taps need >= 32 px; expand tiny crops (zeros match in
+    # pred and gt canvases so scores are unaffected)
+    min_crop = 32
+    if hmax - hmin < min_crop:
+        hmax = min(h, hmin + min_crop)
+        hmin = max(0, hmax - min_crop)
+    if wmax - wmin < min_crop:
+        wmax = min(w, wmin + min_crop)
+        wmin = max(0, wmax - min_crop)
     val_j = jnp.asarray(val.astype(np.int32))
 
     chunk = 1 << 14

@@ -1,0 +1,76 @@
+"""Proposal ranking on CPU with tiny budgets: the true lattice must out-rank
+a wrong one, and run_search must write a consumable odgt."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def synth(h=64, w=72, py=12.0, px=16.0):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    img = np.stack([0.5 + 0.45 * np.sin(2 * np.pi * yy / py),
+                    0.5 + 0.45 * np.cos(2 * np.pi * xx / px),
+                    0.5 + 0.2 * np.sin(2 * np.pi * (yy / py + xx / px))], -1)
+    return np.clip(img, 0, 1)
+
+
+def test_rank_proposals_prefers_true_lattice():
+    import jax
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.losses.contextual import ContextualLoss
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.proposal.ranking import rank_proposals
+
+    cfg = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=128,
+                  N_iters=120)
+    img = synth()
+    h, w = img.shape[:2]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    val_mask = (yy > 24) & (yy < 40) & (xx > 28) & (xx < 44)
+    i_val = np.stack(np.nonzero(val_mask), 1)
+    i_train = np.stack(np.nonzero(~val_mask), 1)
+
+    # pairing convention: angle 90 selects the x projection, so it pairs
+    # with the x period (reference: feature_searching.py:143-155)
+    angles = [[90.0, 180.0], [90.0, 180.0]]
+    periods = [[16.0, 12.0], [7.0, 5.0]]   # true vs wrong
+    d = rank_proposals(cfg, img, i_train, i_val, angles, periods,
+                       LPIPS(net='vgg'), ContextualLoss(use_vgg=True))
+    assert d.shape == (2,)
+    assert d[0] < d[1], f'true lattice should score lower: {d}'
+
+
+def test_run_search_e2e_writes_consumable_odgt(tmp_path):
+    import cv2
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.proposal.search import run_search
+
+    img = synth(80, 88)
+    mask = np.ones(img.shape[:2])
+    mask[30:40, 34:46] = 0
+    d = tmp_path / 'in' / 'ex1'
+    os.makedirs(d)
+    cv2.imwrite(str(d / 'gt_img.png'), np.uint8(img[..., ::-1] * 255))
+    cv2.imwrite(str(d / 'masked_img.png'),
+                np.uint8((img * mask[..., None])[..., ::-1] * 255))
+    cv2.imwrite(str(d / 'unknown_mask.png'), np.uint8(mask * 255))
+    cv2.imwrite(str(d / 'valid_mask.png'),
+                np.uint8(np.ones(img.shape[:2]) * 255))
+
+    cfg = replace(SearchConfig(), datadir=str(d), outdir=str(tmp_path / 'det'),
+                  netdepth=2, netwidth=32, N_rand=128, N_iters=60,
+                  search_range=(2, 6, 2))
+    odgt = run_search(cfg)
+    out_dir = str(tmp_path / 'det' / 'ex1')
+    assert os.path.exists(os.path.join(out_dir, 'config.odgt'))
+    assert os.path.exists(os.path.join(out_dir, 'reg_img_0.png'))
+    rec = json.loads(open(os.path.join(out_dir, 'config.odgt')).readline())
+    assert len(rec['selected_periods']) >= 1
+    assert rec['distances'] == sorted(rec['distances'])
+    # detected displacement should land near the synthetic lattice
+    best = np.asarray(rec['selected_shifts'][0])
+    for s in best:
+        dx, dy = s
+        assert abs(dx / 16.0 - round(dx / 16.0)) < 0.3 or \
+            abs(dy / 12.0 - round(dy / 12.0)) < 0.3
