@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Run the full bundled-example suite (the reference's run_*.sh loops) in ONE
+process so canvas-bucketed executables are shared across images.
+
+Usage:
+  python scripts/run_suite.py [--tasks completion,segmentation,remapping]
+                              [--input-root /root/reference/data]
+                              [--out /tmp/npp_suite] [--iters-scale 1.0]
+
+Writes detected dirs, task outputs, and a summary JSON with per-image
+metrics + wall-clock.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--tasks', default='completion,segmentation,remapping')
+    ap.add_argument('--input-root', default='/root/reference/data')
+    ap.add_argument('--out', default='/tmp/npp_suite')
+    ap.add_argument('--iters-scale', type=float, default=1.0)
+    ap.add_argument('--skip-search', action='store_true',
+                    help='reuse existing detected dirs')
+    args = ap.parse_args()
+
+    from npp_tpu.config import (CompletionConfig, RemappingConfig,
+                                SearchConfig, SegmentationConfig, replace)
+    from npp_tpu.losses.contextual import ContextualLoss
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.utils.debug import PhaseTimer
+
+    timer = PhaseTimer()
+    summary = {'tasks': {}, 'env': {'devices': None}}
+    import jax
+    summary['env']['devices'] = [str(d) for d in jax.devices()]
+
+    # shared loss towers (compile reuse across all searches)
+    percep = LPIPS(net='vgg')
+    contextual = ContextualLoss(use_vgg=True)
+
+    task_cfg = {
+        'completion': CompletionConfig,
+        'segmentation': SegmentationConfig,
+        'remapping': RemappingConfig,
+    }
+
+    for task in args.tasks.split(','):
+        in_dir = os.path.join(args.input_root, task, 'input')
+        if not os.path.isdir(in_dir):
+            continue
+        det_root = os.path.join(args.out, task, 'detected')
+        res_root = os.path.join(args.out, task, 'results')
+        examples = sorted(os.listdir(in_dir))
+        summary['tasks'][task] = {}
+
+        for name in examples:
+            rec = {}
+            det_dir = os.path.join(det_root, name)
+            if not args.skip_search or not os.path.exists(
+                    os.path.join(det_dir, 'config.odgt')):
+                scfg = replace(SearchConfig(),
+                               datadir=os.path.join(in_dir, name),
+                               outdir=det_root)
+                t0 = time.time()
+                with timer.phase(f'search/{task}'):
+                    from npp_tpu.proposal.search import run_search
+                    odgt = run_search(scfg, percep=percep,
+                                      contextual=contextual)
+                rec['search_s'] = round(time.time() - t0, 1)
+                rec['top_periods'] = odgt['selected_periods'][:3]
+
+            cfg = replace(task_cfg[task](), datadir=det_dir, basedir=res_root)
+            if args.iters_scale != 1.0:
+                cfg = replace(cfg,
+                              N_iters=max(2, int(cfg.N_iters * args.iters_scale)),
+                              i_testset=max(1, int(cfg.i_testset * args.iters_scale)))
+            t0 = time.time()
+            with timer.phase(f'fit/{task}'):
+                if task == 'completion':
+                    from npp_tpu.models.completion import run_completion
+                    result, final, _ = run_completion(cfg)
+                    rec.update({k: round(v, 3) for k, v in final.items()
+                                if np.isscalar(v)})
+                elif task == 'segmentation':
+                    from npp_tpu.models.segmentation import run_segmentation
+                    result, results = run_segmentation(cfg)
+                    last = results[max(results)]
+                    rec['non_periodic_fraction'] = round(
+                        float(last['non_period_mask'].mean()), 4)
+                else:
+                    from npp_tpu.models.remapping import run_remapping
+                    result, final, _ = run_remapping(cfg)
+                    rec.update({k: round(v, 3) for k, v in final.items()
+                                if np.isscalar(v)})
+            rec['fit_s'] = round(time.time() - t0, 1)
+            rec['iters_per_sec'] = round(result.iters_per_sec, 2)
+            summary['tasks'][task][name] = rec
+            print(f'[suite] {task}/{name}: {rec}')
+
+    summary['phases'] = {k: round(v, 1) for k, v in timer.phases.items()}
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, 'summary.json'), 'w') as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary['phases']))
+    print(f"[suite] wrote {args.out}/summary.json")
+
+
+if __name__ == '__main__':
+    main()
