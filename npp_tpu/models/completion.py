@@ -85,4 +85,15 @@ def run_completion(cfg, save: bool = True):
                        log_every=cfg.i_print)
     final = evaluate(data, result.state.params['mlp'], result.render,
                      result.state.params['adaptive_pix'], cfg.loss_type)
+
+    # final LPIPS of the composited output vs gt (the paper's second headline
+    # metric; absolute values require converted pretrained towers)
+    percep = result.components.percep
+    if percep is None:
+        from ..losses.lpips import LPIPS
+        percep = LPIPS(net='vgg')
+    comp = jnp.asarray(final['pred_rgb_img_comp'], jnp.float32)[None]
+    oh, ow = data.orig_shape
+    gt = jnp.asarray((data.img * data.valid_mask)[:oh, :ow], jnp.float32)[None]
+    final['val_lpips'] = float(jnp.mean(percep(comp, gt, normalize=True)))
     return result, final, evals

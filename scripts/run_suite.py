@@ -58,7 +58,9 @@ def main():
             continue
         det_root = os.path.join(args.out, task, 'detected')
         res_root = os.path.join(args.out, task, 'results')
-        examples = sorted(os.listdir(in_dir))
+        examples = sorted(
+            n for n in os.listdir(in_dir)
+            if os.path.exists(os.path.join(in_dir, n, 'gt_img.png')))
         summary['tasks'][task] = {}
 
         for name in examples:
