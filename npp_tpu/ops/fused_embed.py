@@ -50,14 +50,24 @@ class EmbedGeom(NamedTuple):
 def embed_fn(coords: jnp.ndarray, geom: EmbedGeom, res: Tuple[int, int],
              freq_scales, freq_offsets, angle_offsets) -> jnp.ndarray:
     """Pure-jnp embedding identical to TaskEmbedder.embed (proposal-major
-    blocks of fourier(periodic_warp(...)))."""
-    def one(angles, periods):
-        p = periodic_warp(coords, angles, periods, freq_scales, freq_offsets,
-                          angle_offsets, res, include_input=True)
-        return fourier_encode(p, geom.bands, include_input=True)
-
-    per = jax.vmap(one)(geom.angles, geom.periods)       # (K, N, D)
-    return jnp.moveaxis(per, 0, -2).reshape(*coords.shape[:-1], -1)
+    blocks of fourier(periodic_warp(...))), built exclusively from rank-2
+    concatenations so Mosaic can lower it inside a Pallas kernel (the
+    vectorised vmap/stack/moveaxis form trips `infer-vector-layout:
+    unsupported shape cast`)."""
+    n_bands = geom.bands.shape[0]
+    k = geom.angles.shape[0]
+    blocks = []
+    for kk in range(k):  # static proposal count (<= p_topk)
+        p = periodic_warp(coords, geom.angles[kk], geom.periods[kk],
+                          freq_scales, freq_offsets, angle_offsets, res,
+                          include_input=True)
+        parts = [p]
+        for i in range(n_bands):  # reference order: [x, sin(f_i x), cos(f_i x)]
+            xf = p * geom.bands[i]
+            parts.append(jnp.sin(xf))
+            parts.append(jnp.cos(xf))
+        blocks.append(jnp.concatenate(parts, axis=-1))
+    return jnp.concatenate(blocks, axis=-1)
 
 
 def _round_up(x: int, m: int) -> int:
