@@ -35,7 +35,11 @@ class BaseConfig:
     loss_type: str = "robust_loss_adaptive"  # | 'l2' | 'robust_loss'
     seed: int = 0
     # TPU-specific knobs (no reference equivalent)
-    matmul_precision: str = "default"   # 'default' | 'float32' | 'bfloat16'
+    matmul_precision: str = "bfloat16"  # 'default' | 'float32' | 'bfloat16';
+                                        # bf16 feeds the MXU natively: measured
+                                        # 1.85x step speedup at identical fit
+                                        # quality (BASELINE.md); params/sums
+                                        # stay f32
     feature_dtype: str = "float32"      # dtype for pretrained conv towers
     canvas_multiple: int = 64           # pad images to this multiple so
                                         # compiled executables are shared

@@ -106,6 +106,15 @@ def build_loss_fn(cfg, task: TaskSpec, model,
         return render_activation(raw, cfg.normalize_type)
 
     def loss_fn(params, embedder, consts: FitConsts, rng):
+        if cfg.matmul_precision != 'default':
+            ctx = jax.default_matmul_precision(cfg.matmul_precision)
+        else:
+            import contextlib
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return _loss_fn_inner(params, embedder, consts, rng)
+
+    def _loss_fn_inner(params, embedder, consts: FitConsts, rng):
         k_pix, k_patch = jax.random.split(rng)
         batch: PatchBatch = sample_patches(
             k_patch, consts.sampler, patch_num, patch_size, topk,
@@ -257,6 +266,8 @@ def make_render(cfg, model, embedder, chunk: int = 1 << 16):
     activations."""
     from ..nn.mlp import render_activation
 
+    import contextlib
+
     @partial(jax.jit, static_argnames=('h', 'w'))
     def render_image(params, h: int, w: int):
         coords = jnp.stack(jnp.meshgrid(jnp.arange(h), jnp.arange(w),
@@ -270,7 +281,10 @@ def make_render(cfg, model, embedder, chunk: int = 1 << 16):
             raw = model.apply({'params': params}, embedder.embed(c))
             return render_activation(raw, cfg.normalize_type)
 
-        out = jax.lax.map(body, coords)
+        ctx = jax.default_matmul_precision(cfg.matmul_precision) \
+            if cfg.matmul_precision != 'default' else contextlib.nullcontext()
+        with ctx:
+            out = jax.lax.map(body, coords)
         return out.reshape(-1, 3)[:n].reshape(h, w, 3)
 
     return render_image

@@ -78,12 +78,20 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     train_pool = jnp.asarray(np.tile(pool_np, (reps, 1))[:target])
     n_pool = jnp.asarray(n_true, jnp.int32)
 
+    import contextlib
+
+    def _precision_ctx():
+        return jax.default_matmul_precision(cfg.matmul_precision) \
+            if cfg.matmul_precision != 'default' else contextlib.nullcontext()
+
     def one_cand_loss(p, ang, per, coords, gt):
-        e_pos = embed_pos(coords)
-        e_per = embed_peri(coords, ang, per)
-        pred = render_activation(model.apply({'params': p['mlp']}, e_pos, e_per),
-                                 cfg.normalize_type)
-        return img2mse(pred, gt, cfg.loss_type, p['adaptive_pix'], None)
+        with _precision_ctx():
+            e_pos = embed_pos(coords)
+            e_per = embed_peri(coords, ang, per)
+            pred = render_activation(
+                model.apply({'params': p['mlp']}, e_pos, e_per),
+                cfg.normalize_type)
+            return img2mse(pred, gt, cfg.loss_type, p['adaptive_pix'], None)
 
     def scan_step(carry, key):
         params, opt_state = carry

@@ -85,3 +85,37 @@ def test_remove_small_objects():
     out = remove_small_objects(m, min_size=300)
     assert out[:20, :20].all()
     assert not out[30:32, 30:32].any()
+
+
+def test_refinement_autocalibration():
+    """With fallback (random) LPIPS towers, the spatial maps are rescaled per
+    image so the reference thresholds remain discriminative: a region whose
+    reconstruction error is much higher than the periodic region's must be
+    flagged non-periodic."""
+    import types
+    import numpy as np
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.segmentation import refine_segmentation
+    from npp_tpu.config import SegmentationConfig, replace
+
+    rng = np.random.RandomState(0)
+    h, w = 96, 96
+    blur = rng.rand(h, w, 3) * 0.05 + 0.5
+    pred = blur.copy()
+    pred[30:80, 30:80] += rng.rand(50, 50, 3) * 0.6  # badly-reconstructed block
+    mask = np.ones((h, w, 1))
+    non_period = np.zeros((h, w, 1))
+    non_period[20:90, 20:90] = 1
+    data = TaskData(img=blur, masked_img=blur, mask=mask,
+                    valid_mask=np.ones((h, w, 1)),
+                    i_train=np.zeros((1, 2), int), i_val=np.zeros((1, 2), int),
+                    selected_shifts=[], selected_angles=[], selected_periods=[],
+                    patch_size=16,
+                    extra={'blur_img': blur, 'non_period_mask': non_period})
+    cfg = SegmentationConfig()
+    res = refine_segmentation(cfg, data, pred, LPIPS(net='alex'))
+    frac = res['non_period_mask'].mean()
+    assert frac > 0.05, f'badly-fit block should be flagged, got {frac}'
+    # and the well-fit outside region should mostly stay periodic
+    assert res['non_period_mask'][:15].mean() < 0.2
