@@ -27,7 +27,7 @@ PATCH_SIZE = 160
 PATCH_NUM = 2
 TOPK = 3
 N_BENCH_TPU = 100
-N_BENCH_CPU = 5
+N_BENCH_CPU = 3
 
 
 def _synthetic_data(cfg):

@@ -12,7 +12,6 @@ Any dataclass field of the task's config can be overridden with
 """
 from __future__ import annotations
 
-import argparse
 import dataclasses
 import sys
 from typing import Type

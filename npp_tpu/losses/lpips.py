@@ -16,14 +16,15 @@ from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..nn.features import (ALEX_LPIPS_TAPS, VGG16_BLOCKS, VGG16_LPIPS_TAPS,
                            AlexNetFeatures, VGGFeatures)
 from ..nn.pretrained import load_lpips_lins, load_tower_params
 from .robust import AdaptiveLossParams, adaptive_init, adaptive_lossfun
 
-_SHIFT = jnp.asarray([-0.030, -0.088, -0.188])
-_SCALE = jnp.asarray([0.458, 0.448, 0.450])
+_SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 LPIPS_CHNS = {
     'vgg': (64, 128, 256, 512, 512),

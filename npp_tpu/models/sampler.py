@@ -26,7 +26,6 @@ Deviations (documented, trajectory-level parity):
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax

@@ -17,10 +17,11 @@ Capture-point naming:
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 # (convs_per_block, channels) per block
 VGG16_BLOCKS: Tuple[Tuple[int, int], ...] = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
@@ -35,8 +36,8 @@ VGG16_STYLE_TAPS = ('pool1', 'pool2', 'pool3')
 # Contextual default tap (reference: contextual_loss/modules/contextual.py:29)
 VGG19_CX_TAP = 'relu3_4'
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 class VGGFeatures(nn.Module):

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..nn.embedder import fourier_encode, periodic_warp
+from ..nn.embedder import periodic_warp
 
 
 class EmbedGeom(NamedTuple):

@@ -11,8 +11,6 @@ scatter/gather over normalised float grids.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 

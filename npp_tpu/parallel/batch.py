@@ -15,9 +15,8 @@ axis instead ('pixels'), the honest sequence-parallel axis of an INR.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.trainer import FitConsts, FitState, TaskSpec, build_loss_fn, make_schedule
+from ..models.trainer import FitConsts, FitState, TaskSpec, build_loss_fn
 from ..nn.embedder import TaskEmbedder
 
 

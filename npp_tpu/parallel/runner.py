@@ -19,7 +19,7 @@ import numpy as np
 from ..models.loaders import TaskData
 from ..models.pipeline import build_components, make_fit_consts
 from ..models.trainer import FitState, TaskSpec
-from ..nn.embedder import TaskEmbedder, make_task_embedder
+from ..nn.embedder import make_task_embedder
 from .batch import (init_batched_state, make_batched_fit_step, stack_consts,
                     stack_embedders)
 from .mesh import make_mesh, shard_leading_axis

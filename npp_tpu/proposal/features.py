@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import cv2
-import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.ndimage as ndimage

@@ -12,8 +12,6 @@ sharing batch indices across the candidate axis.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,7 +24,6 @@ from ..losses.robust import adaptive_init
 from ..nn.embedder import fourier_encode, gaussian_freq_bands, normalize_coords, periodic_warp
 from ..nn.mlp import NPPNetLight, render_activation
 from ..config import nerf_embed_dim, periodic_embed_dim
-from .pseudo_mask import build_pseudo_split
 
 
 def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,

@@ -10,7 +10,7 @@ via features[1:], reference: pipelines.py:154,236).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

@@ -17,7 +17,7 @@ convention, consumed via `slic - 1` downstream, pipelines.py:236-250).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
