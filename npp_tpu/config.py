@@ -99,9 +99,13 @@ class SearchConfig(BaseConfig):
     netdepth: int = 4
     netwidth: int = 256
     N_rand: int = 32 * 32 * 2
-    gray_only: bool = False       # store_false flag default-on semantics inverted:
-                                  # reference default uses conv features + gray
-    edge_searching: bool = False
+    # NOTE: the reference's --gray_only / --edge_searching are store_false
+    # flags, so their DEFAULTS are True: the shipped pipeline detects on
+    # grayscale + canny-edge correlation with no conv tower
+    # (reference: options/arg_config.py:122-126, run_completion.sh passes no
+    # flags). gray_only=False enables the AlexNet-conv1 feature path.
+    gray_only: bool = True
+    edge_searching: bool = True
     topk_detection: int = 10
     search_range: Tuple[int, int, int] = (1, 10, 1)
     contextual_weight: float = 1.0
