@@ -169,3 +169,19 @@ def search_periodicity_by_feat(img_u8: np.ndarray, mask: np.ndarray,
     periods = [[p * ratio for p in ps] for ps in periods]
     shifts = [[s * ratio for s in pair] for pair in shifts]
     return angles, periods, shifts
+
+
+def lattice_to_proposal(d1_xy, d2_xy):
+    """Encode two lattice displacement vectors as the (angles, periods) pair
+    convention consumed by the embedders.
+
+    The convention is subtle (reference: feature_searching.py:140-155): each
+    direction's ANGLE comes from the OTHER displacement vector, and its
+    PERIOD is this vector's length projected across the lattice
+    (|d| * sin(angle between)). Use this helper instead of hand-pairing.
+    """
+    d1 = np.asarray(d1_xy, np.float64)
+    d2 = np.asarray(d2_xy, np.float64)
+    angles = [shifts2angle(d2), shifts2angle(d1)]
+    periods = [shifts2period(d1, d2), shifts2period(d2, d1)]
+    return angles, periods

@@ -111,3 +111,26 @@ def test_synthetic_lattice_detection():
             # each displacement should sit on the lattice (16 in x, 12 in y)
             assert abs(dx / 16.0 - round(dx / 16.0)) < 0.2 or abs(dx) < 1e-6
             assert abs(dy / 12.0 - round(dy / 12.0)) < 0.2 or abs(dy) < 1e-6
+
+
+def test_lattice_to_proposal_convention():
+    """The helper must produce (angle, period) pairs whose periodic warp is
+    constant along each lattice vector (the invariant the embedding needs)."""
+    import jax.numpy as jnp
+    from npp_tpu.nn.embedder import periodic_warp
+
+    d1 = np.array([16.0, 0.0])   # (dx, dy)
+    d2 = np.array([0.0, 12.0])
+    angles, periods = se.lattice_to_proposal(d1, d2)
+    a = jnp.asarray(angles)
+    p = jnp.asarray(periods)
+    coords = jnp.asarray(np.random.RandomState(0).uniform(0, 50, (16, 2)),
+                         jnp.float32)
+    base = periodic_warp(coords, a, p, (1,), (0,), (0,), (100, 100),
+                         include_input=False)
+    for d in (d1, d2):
+        shifted = coords + jnp.asarray([d[1], d[0]])  # (y, x) order
+        w2 = periodic_warp(shifted, a, p, (1,), (0,), (0,), (100, 100),
+                           include_input=False)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(base),
+                                   atol=1e-3)
