@@ -44,6 +44,11 @@ class BaseConfig:
     canvas_multiple: int = 64           # pad images to this multiple so
                                         # compiled executables are shared
                                         # across image sizes (0 = off)
+    fused_embedding: bool = False       # route the fit through the Pallas
+                                        # fused embed+matmul model
+                                        # (nn/fused_mlp.py); numerically
+                                        # identical, currently slower on
+                                        # bwd — see ROADMAP.md
 
 
 @dataclass(frozen=True)

@@ -73,11 +73,32 @@ def make_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return lambda step: cfg.lrate * (0.1 ** (step / (cfg.lrate_decay * 100.0)))
 
 
+def apply_model(model, mlp_params, embedder, coords):
+    """Uniform forward for the two model families: the standard MLPs take
+    the precomputed embedding; NPPNetFused takes raw coords + geometry and
+    runs the Pallas fused embed+matmul path."""
+    from ..nn.fused_mlp import NPPNetFused
+    if isinstance(model, NPPNetFused):
+        from ..ops.fused_embed import EmbedGeom
+        g1 = EmbedGeom.from_embedder(embedder, 0, 1)
+        g2 = EmbedGeom.from_embedder(embedder, 1, None)
+        return model.apply({'params': mlp_params}, coords, g1, g2)
+    return model.apply({'params': mlp_params}, embedder.embed(coords))
+
+
 def init_fit_state(cfg, task: TaskSpec, model, embedder, rng,
                    percep: Optional[LPIPS], style: Optional[StyleLoss]
                    ) -> Tuple[FitState, optax.GradientTransformation]:
+    from ..nn.fused_mlp import NPPNetFused
+    if isinstance(model, NPPNetFused):
+        from ..ops.fused_embed import EmbedGeom
+        mlp_params = model.init(
+            rng, jnp.zeros((1, 2)), EmbedGeom.from_embedder(embedder, 0, 1),
+            EmbedGeom.from_embedder(embedder, 1, None))['params']
+    else:
+        mlp_params = model.init(rng, jnp.zeros((1, embedder.out_dim)))['params']
     params: Dict[str, Any] = {
-        'mlp': model.init(rng, jnp.zeros((1, embedder.out_dim)))['params'],
+        'mlp': mlp_params,
         'adaptive_pix': adaptive_init(3),
     }
     if percep is not None and cfg.use_adaptive_perceptual_loss:
@@ -101,8 +122,8 @@ def build_loss_fn(cfg, task: TaskSpec, model,
 
     def mlp_rgb(mlp_params, embedder, coords):
         from ..nn.mlp import render_activation
-        emb = embedder.embed(coords.astype(jnp.float32))
-        raw = model.apply({'params': mlp_params}, emb)
+        raw = apply_model(model, mlp_params, embedder,
+                          coords.astype(jnp.float32))
         return render_activation(raw, cfg.normalize_type)
 
     def loss_fn(params, embedder, consts: FitConsts, rng):
@@ -278,7 +299,7 @@ def make_render(cfg, model, embedder, chunk: int = 1 << 16):
         coords = coords.reshape(-1, chunk, 2).astype(jnp.float32)
 
         def body(c):
-            raw = model.apply({'params': params}, embedder.embed(c))
+            raw = apply_model(model, params, embedder, c)
             return render_activation(raw, cfg.normalize_type)
 
         ctx = jax.default_matmul_precision(cfg.matmul_precision) \

@@ -99,3 +99,17 @@ def test_fused_model_matches_nppnet(setup):
                       EmbedGeom.from_embedder(emb, 1, None))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_fused_pipeline_path():
+    """cfg.fused_embedding routes the fit through NPPNetFused; a short fit
+    must run and reduce the pixel loss like the standard path."""
+    from npp_tpu.config import replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from tests.test_trainer import run_steps, tiny_cfg, tiny_data
+
+    cfg = replace(tiny_cfg(), fused_embedding=True)
+    state, losses, comps = run_steps(cfg, COMPLETION_TASK, tiny_data(), n=10)
+    from npp_tpu.nn.fused_mlp import NPPNetFused
+    assert isinstance(comps.model, NPPNetFused)
+    assert losses[-1] < losses[0]
