@@ -21,16 +21,16 @@ from .config import (CompletionConfig, RemappingConfig, SearchConfig,
 
 
 def _parse_value(field: dataclasses.Field, raw: str):
-    t = field.type
-    if 'bool' in str(t):
+    t = str(field.type)
+    if 'bool' in t:
         return raw.lower() in ('1', 'true', 'yes', 'on')
-    if 'int' in str(t):
-        return int(raw)
-    if 'float' in str(t):
-        return float(raw)
-    if 'Tuple' in str(t) or 'tuple' in str(t):
+    if 'Tuple' in t or 'tuple' in t:  # before int/float: 'Tuple[int,...]'
         return tuple(float(v) if '.' in v else int(v)
                      for v in raw.strip('()').split(','))
+    if 'int' in t:
+        return int(raw)
+    if 'float' in t:
+        return float(raw)
     return raw
 
 

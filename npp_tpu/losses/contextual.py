@@ -35,12 +35,14 @@ def compute_cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_l1_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """(reference: functional.py:189-205), NHWC inputs."""
+    """|sum_c (x(p) - y(q))| (reference: functional.py:166-177 — the
+    channel SUM is taken before the abs, and there is no channel
+    normalisation), NHWC inputs."""
     n, h, w, c = x.shape
-    xv = x.reshape(n, h * w, c)
-    yv = y.reshape(n, h * w, c)
-    dist = jnp.sum(jnp.abs(xv[:, :, None, :] - yv[:, None, :, :]), axis=-1)
-    return jnp.maximum(dist, 0.0) / (c + 1e-8)
+    xs = jnp.sum(x.reshape(n, h * w, c), axis=-1)   # (N, P)
+    ys = jnp.sum(y.reshape(n, h * w, c), axis=-1)
+    dist = jnp.abs(xs[:, :, None] - ys[:, None, :])
+    return jnp.maximum(dist, 0.0)
 
 
 def compute_l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -52,8 +54,7 @@ def compute_l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     y_s = jnp.sum(yv ** 2, axis=-1)
     ab = jnp.einsum('npc,nqc->npq', xv, yv)
     dist = y_s[:, None, :] - 2 * ab + x_s[:, :, None]
-    dist = jnp.maximum(dist, 0.0) / (c + 1e-8)
-    return dist
+    return jnp.maximum(dist, 0.0)
 
 
 def compute_relative_distance(dist_raw: jnp.ndarray) -> jnp.ndarray:

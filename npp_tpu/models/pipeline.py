@@ -69,13 +69,9 @@ def build_components(cfg, data: TaskData, task: TaskSpec) -> Components:
 
 
 def _pad_coord_pool(pool: np.ndarray):
-    n = max(len(pool), 1)
-    target = int(2 ** np.ceil(np.log2(n)))
-    if len(pool) == 0:
-        pool = np.zeros((1, 2), np.int64)
-    pad = target - len(pool)
-    pool = np.concatenate([pool, np.repeat(pool[:1], pad, 0)])
-    return jnp.asarray(pool.astype(np.int32)), jnp.asarray(len(pool) - pad)
+    from ..utils.pools import pad_pool_pow2
+    padded, n = pad_pool_pow2(pool, fill='first')
+    return jnp.asarray(padded), jnp.asarray(max(n, 1))
 
 
 def make_fit_consts(cfg, task: TaskSpec, data: TaskData,
@@ -178,9 +174,10 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
         nonlocal patch_size, patch_num, step_fn, single_step_fn, n_decays
         due = (i0 - 1) // cfg.patch_size_decay if i0 > 1 else 0
         if due > n_decays and patch_size > 31 and cfg.N_iters - i0 > 10:
-            n_decays = due
-            patch_size //= 2
-            patch_num *= 2
+            while n_decays < due and patch_size > 31:
+                n_decays += 1
+                patch_size //= 2
+                patch_num *= 2
             step_fn = build_step(patch_size, patch_num,
                                  block if use_blocks else 0)
             single_step_fn = None

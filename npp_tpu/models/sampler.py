@@ -48,7 +48,7 @@ class SamplerConsts(NamedTuple):
 
     img: jnp.ndarray          # (H, W, 3) source image for patches
     mask: jnp.ndarray         # (H, W) known-region mask in [0,1]
-    mask_sat: jnp.ndarray     # (H+1, W+1) SAT of (mask < 0.5)
+    known_sat: jnp.ndarray    # (H+1, W+1) SAT of (mask >= 0.5)
     pool_train: jnp.ndarray   # (Nt, 2) int32, padded
     pool_train_n: jnp.ndarray # () int32 valid count
     pool_val: jnp.ndarray     # (Nv, 2) int32, padded
@@ -81,16 +81,9 @@ def _valid_centroids(pool: np.ndarray, h: int, w: int, half: int) -> np.ndarray:
 
 
 def _pad_pool(pool: np.ndarray, h: int, w: int) -> Tuple[np.ndarray, int]:
-    n = len(pool)
-    if n == 0:
-        # degenerate: fall back to the image centre so shapes stay valid
-        pool = np.array([[h // 2, w // 2]], dtype=np.int64)
-        n = 0
-    # pad to a power-of-two-ish length for shape reuse across images
-    target = max(1, int(2 ** np.ceil(np.log2(max(len(pool), 1)))))
-    pad = target - len(pool)
-    pool = np.concatenate([pool, np.repeat(pool[:1], pad, 0)], 0)
-    return pool.astype(np.int32), n
+    from ..utils.pools import pad_pool_pow2
+    # degenerate pools fall back to the image centre so shapes stay valid
+    return pad_pool_pow2(pool, fallback_row=(h // 2, w // 2), fill='first')
 
 
 def build_sampler_consts(img: np.ndarray, mask: np.ndarray,
@@ -128,7 +121,7 @@ def build_sampler_consts(img: np.ndarray, mask: np.ndarray,
     return SamplerConsts(
         img=jnp.asarray(img, jnp.float32).reshape(h, w, -1)[..., :3],
         mask=jnp.asarray(mask2d),
-        mask_sat=summed_area_table(jnp.asarray(mask2d < 0.5, jnp.float32)),
+        known_sat=summed_area_table(jnp.asarray(mask2d >= 0.5, jnp.float32)),
         pool_train=jnp.asarray(pt), pool_train_n=jnp.asarray(max(nt, 1)),
         pool_val=jnp.asarray(pv), pool_val_n=jnp.asarray(max(nv, 1)),
         shift1=jnp.asarray(shift1), shift2=jnp.asarray(shift2),
@@ -161,7 +154,11 @@ def _real_from_lattice(consts: SamplerConsts, fake_cents: jnp.ndarray,
 
     in_bounds = ((cand[..., 0] > 0) & (cand[..., 0] < h - 1) &
                  (cand[..., 1] > 0) & (cand[..., 1] < w - 1))
-    n_unknown = window_sum(consts.mask_sat, cand, patch_size)
+    # reference semantics: the patch is gathered with zero padding, and
+    # zero-padded mask pixels count as unknown (sampler.py:171-186); so the
+    # unknown count is patch area minus KNOWN pixels inside the image
+    n_known = window_sum(consts.known_sat, cand, patch_size)
+    n_unknown = patch_size * patch_size - n_known
     ratio_ok = n_unknown <= patch_size * patch_size * invalid_ratio
 
     dist = jnp.abs(ii) + jnp.abs(jj)                    # (400,)

@@ -111,13 +111,32 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
 
         state = shard_leading_axis(state, mesh)
         consts = shard_leading_axis(consts, mesh)
+
+        # patch-size decay schedule (same cadence as fit_image; stages
+        # rebuild the batched step + constants at decay boundaries)
+        ps, pn = patch_size, cfg.patch_num
         step = make_batched_fit_step(cfg, task, model, comps.percep,
                                      comps.contextual, comps.style, tx,
-                                     cfg.patch_num, patch_size, mesh=mesh)
+                                     pn, ps, mesh=mesh)
         rng = jax.random.PRNGKey(cfg.seed + 7)
-        for _ in range(n_iters):
-            rng, k = jax.random.split(rng)
-            state, _ = step(state, emb_b, consts, k)
+        i = 1
+        while i <= n_iters:
+            next_decay = ((i - 1) // cfg.patch_size_decay + 1) * \
+                cfg.patch_size_decay
+            seg_end = min(n_iters, next_decay - 1)
+            for _ in range(i, seg_end + 1):
+                rng, k = jax.random.split(rng)
+                state, _ = step(state, emb_b, consts, k)
+            i = seg_end + 1
+            if i <= n_iters and ps > 31 and n_iters - i > 10:
+                ps //= 2
+                pn *= 2
+                consts = shard_leading_axis(stack_consts(_pad_pools_to_common(
+                    [make_fit_consts(cfg, task, d, ps)
+                     for d in padded_group])), mesh)
+                step = make_batched_fit_step(cfg, task, model, comps.percep,
+                                             comps.contextual, comps.style,
+                                             tx, pn, ps, mesh=mesh)
         jax.block_until_ready(state.params)
         for j, i in enumerate(idxs):
             results[i] = jax.tree.map(lambda x: x[j], state)

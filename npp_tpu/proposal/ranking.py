@@ -68,12 +68,10 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     img = jnp.asarray(masked_img, jnp.float32)
     # pad the pool to a power-of-two length (executable reuse across images);
     # the true count bounds the randint so repeats are never oversampled
-    pool_np = np.asarray(i_train, np.int32)
-    n_true = len(pool_np)
-    target = int(2 ** np.ceil(np.log2(max(n_true, 1))))
-    reps = -(-target // max(n_true, 1))
-    train_pool = jnp.asarray(np.tile(pool_np, (reps, 1))[:target])
-    n_pool = jnp.asarray(n_true, jnp.int32)
+    from ..utils.pools import pad_pool_pow2
+    padded, n_true = pad_pool_pow2(i_train, fill='tile')
+    train_pool = jnp.asarray(padded)
+    n_pool = jnp.asarray(max(n_true, 1), jnp.int32)
 
     import contextlib
 

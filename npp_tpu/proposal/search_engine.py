@@ -77,7 +77,9 @@ def generate_possible_shifts(act_shape: Tuple[int, int],
     """Candidate (dx, dy) annulus for one range group
     (reference: feature_searching.py:267-277)."""
     h, w = act_shape
-    dxs, dys = np.meshgrid(np.arange(-(w // range_x[0]), w // range_x[0]),
+    # NB: the reference's lower bound is -w // r (floor of the NEGATIVE,
+    # i.e. -ceil(w/r)), one wider than -(w // r) when r does not divide w
+    dxs, dys = np.meshgrid(np.arange(-w // range_x[0], w // range_x[0]),
                            np.arange(0, h // range_y[0]), indexing='ij')
     shifts = np.stack([dxs.ravel(), dys.ravel()], 1)
     keep = (np.abs(shifts[:, 0]) > w // range_x[1]) | \

@@ -29,11 +29,7 @@ def save_fit_state(path: str, state) -> None:
 def restore_fit_state(path: str, like) -> Any:
     """Restore into the structure of `like` (an abstract or concrete
     FitState pytree)."""
-    import orbax.checkpoint as ocp
     path = os.path.abspath(path)
-    target = jax.tree.map(ocp.utils.to_shape_dtype_struct
-                          if hasattr(ocp.utils, 'to_shape_dtype_struct')
-                          else (lambda x: x), like)
     restored = _checkpointer().restore(path, item=jax.tree.map(np.asarray, like))
     return jax.tree.map(lambda r, l: jax.numpy.asarray(r, l.dtype)
                         if hasattr(l, 'dtype') else r, restored, like)
