@@ -100,3 +100,15 @@ def test_pretrained_registry_fallback_flagged():
     assert 'vgg16' in reports
     # in this environment the tower falls back; the lin heads are assets
     assert reports['lpips_lin_vgg'].pretrained
+
+
+def test_feature_extractor_registry():
+    import jax.numpy as jnp
+    from npp_tpu.nn.registry import get_available_models, get_feature_extractor
+    assert 'alexnet' in get_available_models()
+    fn, tap = get_feature_extractor('alexnet')
+    out = fn(jnp.zeros((1, 64, 64, 3)))
+    assert tap in out and out[tap].shape[-1] == 64
+    import pytest
+    with pytest.raises(NotImplementedError):
+        get_feature_extractor('resnet34')
