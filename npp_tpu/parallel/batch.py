@@ -99,6 +99,42 @@ def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
     return run
 
 
+def make_batched_fit_block(cfg, task: TaskSpec, model, percep, contextual,
+                           style, tx, patch_num: int, patch_size: int,
+                           block: int, mesh: Optional[Mesh] = None,
+                           images_axis: str = 'images'):
+    """`block` batched steps per device call via lax.scan — the multi-image
+    analogue of trainer.make_fit_block. Essential behind a relay tunnel:
+    per-call dispatch latency (~1s) otherwise dominates throughput."""
+    inner = make_batched_fit_step(cfg, task, model, percep, contextual, style,
+                                  tx, patch_num, patch_size, mesh=None,
+                                  images_axis=images_axis)
+
+    def scan_block(state, embedder_b, consts_b, rng):
+        keys = jax.random.split(rng, block)
+
+        def body(st, k):
+            st, metrics = inner(st, embedder_b, consts_b, k)
+            return st, metrics
+
+        state, metrics_seq = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(lambda x: x[-1], metrics_seq)
+
+    if mesh is None:
+        return jax.jit(scan_block)
+
+    @jax.jit
+    def run(state, embedder_b, consts_b, rng):
+        spec_b = NamedSharding(mesh, P(images_axis))
+        state = jax.lax.with_sharding_constraint(
+            state, jax.tree.map(lambda _: spec_b, state))
+        consts_b = jax.lax.with_sharding_constraint(
+            consts_b, jax.tree.map(lambda _: spec_b, consts_b))
+        return scan_block(state, embedder_b, consts_b, rng)
+
+    return run
+
+
 def init_batched_state(cfg, task: TaskSpec, model, embedders, rng, percep,
                        style) -> Tuple[FitState, Any]:
     """Per-image init (independent keys), stacked on the batch axis."""

@@ -20,8 +20,8 @@ from ..models.loaders import TaskData
 from ..models.pipeline import build_components, make_fit_consts
 from ..models.trainer import FitState, TaskSpec
 from ..nn.embedder import make_task_embedder
-from .batch import (init_batched_state, make_batched_fit_step, stack_consts,
-                    stack_embedders)
+from .batch import (init_batched_state, make_batched_fit_block,
+                    make_batched_fit_step, stack_consts, stack_embedders)
 from .mesh import make_mesh, shard_leading_axis
 
 
@@ -113,20 +113,37 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
         consts = shard_leading_axis(consts, mesh)
 
         # patch-size decay schedule (same cadence as fit_image; stages
-        # rebuild the batched step + constants at decay boundaries)
+        # rebuild the batched step + constants at decay boundaries).
+        # lax.scan blocks amortise dispatch latency (~1s/call via the relay).
         ps, pn = patch_size, cfg.patch_num
-        step = make_batched_fit_step(cfg, task, model, comps.percep,
-                                     comps.contextual, comps.style, tx,
-                                     pn, ps, mesh=mesh)
+        block = 100
+
+        def build(ps_, pn_):
+            blk = make_batched_fit_block(cfg, task, model, comps.percep,
+                                         comps.contextual, comps.style, tx,
+                                         pn_, ps_, block, mesh=mesh)
+            single = make_batched_fit_step(cfg, task, model, comps.percep,
+                                           comps.contextual, comps.style, tx,
+                                           pn_, ps_, mesh=mesh)
+            return blk, single
+
+        step_blk, step_one = build(ps, pn)
         rng = jax.random.PRNGKey(cfg.seed + 7)
         i = 1
         while i <= n_iters:
-            next_decay = ((i - 1) // cfg.patch_size_decay + 1) * \
+            # next boundary STRICTLY after i (the decay for boundary == i was
+            # already applied at the end of the previous pass)
+            next_decay = (i // cfg.patch_size_decay + 1) * \
                 cfg.patch_size_decay
             seg_end = min(n_iters, next_decay - 1)
-            for _ in range(i, seg_end + 1):
+            remaining = seg_end - i + 1
+            while remaining >= block:
                 rng, k = jax.random.split(rng)
-                state, _ = step(state, emb_b, consts, k)
+                state, _ = step_blk(state, emb_b, consts, k)
+                remaining -= block
+            for _ in range(remaining):
+                rng, k = jax.random.split(rng)
+                state, _ = step_one(state, emb_b, consts, k)
             i = seg_end + 1
             if i <= n_iters and ps > 31 and n_iters - i > 10:
                 ps //= 2
@@ -134,9 +151,7 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                 consts = shard_leading_axis(stack_consts(_pad_pools_to_common(
                     [make_fit_consts(cfg, task, d, ps)
                      for d in padded_group])), mesh)
-                step = make_batched_fit_step(cfg, task, model, comps.percep,
-                                             comps.contextual, comps.style,
-                                             tx, pn, ps, mesh=mesh)
+                step_blk, step_one = build(ps, pn)
         jax.block_until_ready(state.params)
         for j, i in enumerate(idxs):
             results[i] = jax.tree.map(lambda x: x[j], state)

@@ -98,3 +98,33 @@ def test_fit_images_bucketed_runner():
     k1 = jax.tree.leaves(states[0].params['mlp'])[0]
     k2 = jax.tree.leaves(states[1].params['mlp'])[0]
     assert not np.allclose(np.asarray(k1), np.asarray(k2))
+
+
+def test_fit_images_applies_patch_decay(monkeypatch):
+    """The batched runner must re-stage (halve patch size, double patch_num)
+    at decay boundaries like the single-image path."""
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel import runner as R
+    from npp_tpu.parallel.mesh import make_mesh
+    from tests.test_trainer import tiny_data
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  patch_size_decay=10)
+    d = dataclasses.replace(tiny_data(48, 48), patch_size=32)
+
+    seen = []
+    orig = R.make_batched_fit_step
+
+    def spy(*args, **kwargs):
+        seen.append((args[-2], args[-1]))  # (patch_num, patch_size)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(R, 'make_batched_fit_step', spy)
+    mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    R.fit_images(cfg, COMPLETION_TASK, [d], n_iters=30, mesh=mesh,
+                 canvas_multiple=16)
+    assert (1, 32) in seen and (2, 16) in seen, seen
