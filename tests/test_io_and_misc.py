@@ -112,3 +112,16 @@ def test_feature_extractor_registry():
     import pytest
     with pytest.raises(NotImplementedError):
         get_feature_extractor('resnet34')
+
+
+def test_pad_pool_pow2_edges():
+    from npp_tpu.utils.pools import pad_pool_pow2
+    import numpy as np
+    p, n = pad_pool_pow2(np.zeros((0, 2)), fallback_row=(3, 4))
+    assert n == 0 and p.tolist() == [[3, 4]]
+    p, n = pad_pool_pow2(np.array([[1, 2], [3, 4], [5, 6]]), fill='tile')
+    assert n == 3 and len(p) == 4 and p[3].tolist() == [1, 2]
+    p, n = pad_pool_pow2(np.array([[1, 2], [3, 4], [5, 6]]), fill='first')
+    assert p[3].tolist() == [1, 2]
+    p, n = pad_pool_pow2(np.array([[7, 8]]))
+    assert n == 1 and len(p) == 1
