@@ -69,6 +69,14 @@ class FitConfig(BaseConfig):
     invalid_as_unknown: bool = False
     p_topk: int = 3
     invalid_ratio: float = 0.3
+    aux_gate_ratio: float = 0.0         # TPU-repo addition (no reference
+                                        # equivalent): when > 0, drop aux
+                                        # (top-2..K) proposals whose ranking
+                                        # distance exceeds ratio x top-1
+                                        # distance — wrong lower-ranked
+                                        # lattices feed noise channels
+                                        # (ROADMAP round-1 ablation). 0 = off
+                                        # (reference behaviour).
 
     use_adaptive_perceptual_loss: bool = True
     no_pix_loss: bool = False

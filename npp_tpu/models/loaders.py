@@ -59,9 +59,25 @@ def pad_canvas(data: TaskData, multiple: int) -> TaskData:
         mask=pad(data.mask), valid_mask=pad(data.valid_mask), extra=extra)
 
 
-def _topk_periodicity(info: dict, p_topk: int):
-    return (info['selected_shifts'][:p_topk], info['selected_angles'][:p_topk],
-            info['selected_periods'][:p_topk])
+def _topk_periodicity(info: dict, p_topk: int, aux_gate_ratio: float = 0.0):
+    """Select the top-K proposals, optionally rank-gating the aux ones.
+
+    With aux_gate_ratio > 0, aux proposals (rank 2..K) whose ranking distance
+    (30*LPIPS + 1*CX, written to the odgt by the search stage) exceeds
+    ratio x top-1 distance are dropped: a clearly-worse lattice contributes
+    noise channels to the NPP-Net aux branch (round-1 ablation: top-1-only
+    beat top-3 by +1.1 dB on the example whose aux distances were 1.2x/1.4x
+    top-1). The reference always consumes a fixed top-K
+    (loaders/loaders.py:110-128)."""
+    k = p_topk
+    dist = info.get('distances')
+    if aux_gate_ratio > 0 and dist:
+        gate = aux_gate_ratio * float(dist[0])
+        k = 1
+        while k < min(p_topk, len(dist)) and float(dist[k]) <= gate:
+            k += 1
+    return (info['selected_shifts'][:k], info['selected_angles'][:k],
+            info['selected_periods'][:k])
 
 
 def load_completion(cfg) -> TaskData:
@@ -82,7 +98,7 @@ def load_completion(cfg) -> TaskData:
     if cfg.normalize_type == 2:
         img = (img - 0.5) * 2
 
-    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
+    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk, cfg.aux_gate_ratio)
     return pad_canvas(TaskData(img=img, masked_img=masked_img, mask=mask,
                                valid_mask=valid_mask, i_train=train, i_val=val,
                                selected_shifts=shifts, selected_angles=angles,
@@ -108,7 +124,7 @@ def load_remapping(cfg) -> TaskData:
     train = np.stack(np.nonzero(valid_mask[..., 0]), 1)
     val = np.stack(np.nonzero((clear_mask * valid_mask)[..., 0]), 1)
 
-    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
+    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk, cfg.aux_gate_ratio)
     return pad_canvas(TaskData(img=img, masked_img=img, mask=clear_mask,
                                valid_mask=valid_mask, i_train=train, i_val=val,
                                selected_shifts=shifts, selected_angles=angles,
@@ -148,7 +164,7 @@ def load_segmentation(cfg) -> TaskData:
     train = np.stack(np.nonzero((period_mask * valid_mask)[..., 0]), 1)
     val = np.stack(np.nonzero(((1 - period_mask) * valid_mask)[..., 0]), 1)
 
-    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk)
+    shifts, angles, periods = _topk_periodicity(info, cfg.p_topk, cfg.aux_gate_ratio)
     return pad_canvas(TaskData(img=img, masked_img=blur_img, mask=period_mask,
                                valid_mask=valid_mask, i_train=train, i_val=val,
                                selected_shifts=shifts, selected_angles=angles,

@@ -125,3 +125,35 @@ def test_pad_pool_pow2_edges():
     assert p[3].tolist() == [1, 2]
     p, n = pad_pool_pow2(np.array([[7, 8]]))
     assert n == 1 and len(p) == 1
+
+
+def test_aux_gate_ratio_topk():
+    """Rank-gating of aux proposals by odgt ranking distance
+    (npp_tpu/models/loaders.py::_topk_periodicity; TPU-repo addition,
+    reference always consumes a fixed top-K, loaders/loaders.py:110-128)."""
+    from npp_tpu.models.loaders import _topk_periodicity
+
+    info = {
+        'selected_shifts': [[[1, 0], [0, 1]], [[2, 0], [0, 2]],
+                            [[3, 0], [0, 3]]],
+        'selected_angles': [[90, 180]] * 3,
+        'selected_periods': [[10, 10], [20, 20], [30, 30]],
+        'distances': [1.0, 1.1, 1.5],
+    }
+    # disabled (default): fixed top-K, reference behaviour
+    s, a, p = _topk_periodicity(info, 3, 0.0)
+    assert len(p) == 3
+    # gate at 1.2x: keeps top-2, drops the 1.5x candidate
+    s, a, p = _topk_periodicity(info, 3, 1.2)
+    assert len(p) == 2 and p == [[10, 10], [20, 20]]
+    # tight gate: top-1 always survives
+    s, a, p = _topk_periodicity(info, 3, 1.0)
+    assert len(p) == 1
+    # gating respects p_topk cap
+    s, a, p = _topk_periodicity(info, 2, 10.0)
+    assert len(p) == 2
+    # no distances recorded -> gate is a no-op
+    info2 = dict(info)
+    del info2['distances']
+    s, a, p = _topk_periodicity(info2, 3, 1.2)
+    assert len(p) == 3
