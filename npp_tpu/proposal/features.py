@@ -42,10 +42,19 @@ def canny_edges(img_u8: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 
 def normalize_to_uint8(arr: np.ndarray, channel_idx=(1, 2)) -> np.ndarray:
-    """Per-channel spatial min-max to uint8 (reference: miscs.py:42-48)."""
+    """Per-channel spatial min-max to uint8 (reference: miscs.py:42-48).
+
+    No epsilon in the denominator: np.uint8 TRUNCATES, so nudging the scale
+    by even 1e-12 drops every exactly-integer value to the level below and
+    flips canny pixels downstream (caught by tests/test_pipeline_parity.py).
+    Constant channels (max == min) divide safely to 0 instead of the
+    reference's NaN."""
     amax = arr.max(axis=channel_idx, keepdims=True)
     amin = arr.min(axis=channel_idx, keepdims=True)
-    return np.uint8((arr - amin) / (amax - amin + 1e-12) * 255)
+    rng = amax - amin
+    out = np.divide(arr - amin, rng, out=np.zeros_like(arr, dtype=np.float64),
+                    where=rng != 0)
+    return np.uint8(out * 255)
 
 
 _alex_cache = {}
