@@ -3,7 +3,17 @@ configuration (8192 pixels + 2x160^2 patch pixels per step, D=8/W=512 MLP on
 1386-ch embeddings, adaptive robust pixel loss + VGG19 contextual patch loss;
 reference budgets: options/arg_config.py:55-63,96 and SURVEY.md §6).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics (compile time, blocked vs dispatched throughput, per-step
+latency percentiles, estimated per-dispatch relay overhead) go to stderr as
+a second JSON object, so throughput disagreements across relay conditions
+are attributable (VERDICT.md round-1 weak #2).
+
+The primary metric is the PRODUCTION fit path: `make_fit_block` (lax.scan
+over BLOCK optimisation steps per device call), which is what
+`scripts/run_suite.py` executes. Per-step host dispatch through the relay
+tunnel costs a variable 40-150 ms/call; the blocked path amortises it away,
+so its steady-state number is stable across relay conditions.
 
 vs_baseline: the reference publishes no numbers and this environment has no
 CUDA GPU, so the baseline is the reference's own computation pattern
@@ -26,7 +36,9 @@ H, W = 384, 512
 PATCH_SIZE = 160
 PATCH_NUM = 2
 TOPK = 3
-N_BENCH_TPU = 100
+BLOCK = 50            # production scan-block size for the bench
+N_BLOCKS = 6          # measured blocks (300 iters) after 1 warmup block
+N_SINGLE = 30         # individually dispatched steps for latency percentiles
 N_BENCH_CPU = 3
 
 
@@ -54,14 +66,15 @@ def _synthetic_data(cfg):
                     selected_periods=periods, patch_size=PATCH_SIZE)
 
 
-def bench_tpu() -> float:
+def bench_tpu() -> dict:
     import jax
     import npp_tpu
     npp_tpu.enable_compilation_cache()
     from npp_tpu.config import CompletionConfig
     from npp_tpu.models.completion import COMPLETION_TASK
     from npp_tpu.models.pipeline import build_components, make_fit_consts
-    from npp_tpu.models.trainer import init_fit_state, make_fit_step
+    from npp_tpu.models.trainer import (init_fit_state, make_fit_block,
+                                        make_fit_step)
 
     cfg = CompletionConfig()
     data = _synthetic_data(cfg)
@@ -70,18 +83,54 @@ def bench_tpu() -> float:
                                comps.embedder, jax.random.PRNGKey(0),
                                comps.percep, comps.style)
     consts = make_fit_consts(cfg, COMPLETION_TASK, data, PATCH_SIZE)
+    diag = {'backend': jax.devices()[0].platform,
+            'block': BLOCK, 'iters_blocked': BLOCK * N_BLOCKS}
+
+    # --- primary: production block-scan path (run_suite.py's fit path) ---
+    run_block = make_fit_block(cfg, COMPLETION_TASK, comps.model,
+                               comps.embedder, consts, comps.percep,
+                               comps.contextual, comps.style, tx,
+                               PATCH_NUM, PATCH_SIZE, BLOCK)
+    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
+    state, _ = run_block(state, rng)
+    jax.block_until_ready(state.params)
+    diag['block_compile_plus_first_s'] = round(time.time() - t0, 2)
+    t0 = time.time()
+    for _ in range(N_BLOCKS):
+        rng, k = jax.random.split(rng)
+        state, _ = run_block(state, k)
+    jax.block_until_ready(state.params)
+    blocked_ips = BLOCK * N_BLOCKS / (time.time() - t0)
+    diag['blocked_iters_per_sec'] = round(blocked_ips, 3)
+
+    # --- diagnostic: individually dispatched steps (relay-latency bound) ---
     step = make_fit_step(cfg, COMPLETION_TASK, comps.model, comps.embedder,
                          consts, comps.percep, comps.contextual, comps.style,
                          tx, PATCH_NUM, PATCH_SIZE)
-    rng = jax.random.PRNGKey(1)
+    t0 = time.time()
     state, _ = step(state, rng)
     jax.block_until_ready(state.params)
-    t0 = time.time()
-    for i in range(N_BENCH_TPU):
+    diag['step_compile_plus_first_s'] = round(time.time() - t0, 2)
+    lat = []
+    for _ in range(N_SINGLE):
         rng, k = jax.random.split(rng)
+        t0 = time.time()
         state, _ = step(state, k)
-    jax.block_until_ready(state.params)
-    return N_BENCH_TPU / (time.time() - t0)
+        jax.block_until_ready(state.params)
+        lat.append(time.time() - t0)
+    lat = np.sort(np.asarray(lat))
+    p = lambda q: float(np.percentile(lat, q))
+    diag['dispatched_iters_per_sec'] = round(float(1.0 / lat.mean()), 3)
+    diag['step_latency_ms'] = {
+        'p10': round(p(10) * 1e3, 1), 'p50': round(p(50) * 1e3, 1),
+        'p90': round(p(90) * 1e3, 1)}
+    # per-call overhead = dispatched median latency minus pure compute
+    # (compute per iter from the blocked path, which has ~no dispatch)
+    diag['est_dispatch_overhead_ms'] = round(
+        (p(50) - 1.0 / blocked_ips) * 1e3, 1)
+    diag['value_is'] = 'blocked_iters_per_sec (production fit path)'
+    return diag
 
 
 def bench_torch_cpu() -> float:
@@ -186,12 +235,15 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    tpu_ips = bench_tpu()
+    diag = bench_tpu()
+    tpu_ips = diag['blocked_iters_per_sec']
     try:
         cpu_ips = bench_torch_cpu()
         vs = tpu_ips / cpu_ips
+        diag['torch_cpu_iters_per_sec'] = round(cpu_ips, 4)
     except Exception:
         cpu_ips, vs = None, None
+    print(json.dumps(diag), file=sys.stderr)
     print(json.dumps({
         'metric': 'completion_fit_iters_per_sec',
         'value': round(tpu_ips, 3),
