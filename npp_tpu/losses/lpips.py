@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.features import (ALEX_LPIPS_TAPS, VGG16_BLOCKS, VGG16_LPIPS_TAPS,
-                           AlexNetFeatures, VGGFeatures)
+from ..nn.features import (ALEX_LPIPS_TAPS, SQUEEZE_LPIPS_TAPS, VGG16_BLOCKS,
+                           VGG16_LPIPS_TAPS, AlexNetFeatures,
+                           SqueezeNetFeatures, VGGFeatures)
 from ..nn.pretrained import load_lpips_lins, load_tower_params
 from .robust import AdaptiveLossParams, adaptive_init, adaptive_lossfun
 
@@ -29,6 +30,7 @@ _SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 LPIPS_CHNS = {
     'vgg': (64, 128, 256, 512, 512),
     'alex': (64, 192, 384, 256, 256),
+    'squeeze': (64, 128, 256, 384, 384, 512, 512),
 }
 
 
@@ -60,6 +62,10 @@ class LPIPS:
             self.module = AlexNetFeatures(owt=False, dtype=dtype)
             self.taps = ALEX_LPIPS_TAPS
             tower_name = 'alexnet_tv'
+        elif net == 'squeeze':
+            self.module = SqueezeNetFeatures(dtype=dtype)
+            self.taps = SQUEEZE_LPIPS_TAPS
+            tower_name = 'squeeze_tv'
         else:
             raise ValueError(f'unsupported LPIPS net {net!r}')
         self.params = load_tower_params(tower_name, self.module,

@@ -67,6 +67,7 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
 
     non_period_final = None
     lpips_maps = []
+    lpips_masks = []
     for i in range(cfg.lpips_layers):
         lp = np.asarray(per_layer[i][0, ..., 0])
         if autocal and periodic_ref.any():
@@ -75,6 +76,7 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
         lp_np = non_period * lp
         lpips_maps.append(lp_np)
         lp_ok = lp_np < cfg.lpips_thresh
+        lpips_masks.append(lp_ok)
         period_i = lp_ok & l1_ok
         np_i = (~period_i).astype(np.float64)
         non_period_final = np_i if non_period_final is None \
@@ -88,7 +90,9 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
     return {
         'non_period_mask': non_period_final.astype(np.float64)[:oh, :ow, None],
         'l1_img': (l1_img * valid[..., 0])[:oh, :ow],
+        'l1_mask': l1_ok[:oh, :ow],
         'lpips_maps': [m[:oh, :ow] for m in lpips_maps],
+        'lpips_masks': [m[:oh, :ow] for m in lpips_masks],
     }
 
 
@@ -124,9 +128,15 @@ def run_segmentation(cfg, save: bool = True):
         if save:
             d = os.path.join(save_dir, f'testset_{i:06d}')
             write_gray(os.path.join(d, 'l1_diff_img.png'), res['l1_img'])
+            # inverted threshold masks, matching the reference's
+            # ~l1_img_mask / ~lpips_img_mask_i saves (train.py:357,390)
+            write_gray(os.path.join(d, 'l1_img_mask.png'),
+                       (~res['l1_mask']).astype(np.float64))
             for j, lp in enumerate(res['lpips_maps']):
                 write_gray(os.path.join(d, f'lpips_diff_img_{j}.png'),
                            np.clip(lp, 0, 1))
+                write_gray(os.path.join(d, f'lpips_img_mask_{j}.png'),
+                           (~res['lpips_masks'][j]).astype(np.float64))
             oh, ow = data.orig_shape
             write_rgb(os.path.join(d, 'segment.png'),
                       overlay(data.img[:oh, :ow], res['non_period_mask'],

@@ -140,3 +140,88 @@ def test_style_loss_adaptive(imgs):
 
     val, g = jax.value_and_grad(f)(ad)
     assert np.isfinite(float(val))
+
+
+def test_squeezenet_tower_matches_torch():
+    """SqueezeNetFeatures must reproduce torchvision squeezenet1_1.features
+    semantics (reference: externel_lib/lpips/pretrained_networks.py:5-54).
+    Torch ground truth is built from plain torch layers (no torchvision)."""
+    import torch
+    import torch.nn as tnn
+
+    class Fire(tnn.Module):
+        def __init__(self, cin, s, e):
+            super().__init__()
+            self.squeeze = tnn.Conv2d(cin, s, 1)
+            self.expand1x1 = tnn.Conv2d(s, e, 1)
+            self.expand3x3 = tnn.Conv2d(s, e, 3, padding=1)
+            self.relu = tnn.ReLU()
+
+        def forward(self, x):
+            x = self.relu(self.squeeze(x))
+            return torch.cat([self.relu(self.expand1x1(x)),
+                              self.relu(self.expand3x3(x))], 1)
+
+    torch.manual_seed(0)
+    feats = tnn.Sequential(
+        tnn.Conv2d(3, 64, 3, stride=2), tnn.ReLU(),
+        tnn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(64, 16, 64), Fire(128, 16, 64),
+        tnn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(128, 32, 128), Fire(256, 32, 128),
+        tnn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(256, 48, 192), Fire(384, 48, 192),
+        Fire(384, 64, 256), Fire(512, 64, 256))
+
+    # transplant torch weights into the flax tree
+    def hwio(w):
+        return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+
+    params = {'conv0': {'kernel': hwio(feats[0].weight),
+                        'bias': jnp.asarray(feats[0].bias.detach().numpy())}}
+    for name, mod in zip(('fire3', 'fire4', 'fire6', 'fire7', 'fire9',
+                          'fire10', 'fire11', 'fire12'),
+                         (feats[3], feats[4], feats[6], feats[7], feats[9],
+                          feats[10], feats[11], feats[12])):
+        params[name] = {p: {'kernel': hwio(getattr(mod, p).weight),
+                            'bias': jnp.asarray(
+                                getattr(mod, p).bias.detach().numpy())}
+                        for p in ('squeeze', 'expand1x1', 'expand3x3')}
+
+    from npp_tpu.nn.features import SqueezeNetFeatures
+    rng = np.random.RandomState(2)
+    # odd spatial size exercises the ceil-mode padding path
+    x = rng.rand(1, 65, 77, 3).astype(np.float32)
+    outs = SqueezeNetFeatures().apply({'params': params}, jnp.asarray(x))
+
+    with torch.no_grad():
+        h = torch.tensor(x).permute(0, 3, 1, 2)
+        taps = {}
+        h = feats[1](feats[0](h)); taps['relu1'] = h
+        h = feats[4](feats[3](feats[2](h))); taps['relu2'] = h
+        h = feats[7](feats[6](feats[5](h))); taps['relu3'] = h
+        h = feats[9](feats[8](h)); taps['relu4'] = h
+        h = feats[10](h); taps['relu5'] = h
+        h = feats[11](h); taps['relu6'] = h
+        h = feats[12](h); taps['relu7'] = h
+
+    for k, t in taps.items():
+        np.testing.assert_allclose(
+            np.asarray(outs[k]), t.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_lpips_squeeze_trunk(imgs):
+    """LPIPS 'squeeze' plumbing: 7 layers, converted lin heads, runs in both
+    scalar and spatial modes (reference lpips.py:52-53,72)."""
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.nn.pretrained import weight_reports
+    a, b = imgs
+    lp = LPIPS(net='squeeze')
+    assert len(lp.lins) == 7 and lp.lins[0].shape == (64,)
+    assert weight_reports()['lpips_lin_squeeze'].source == 'asset'
+    same = lp(a, a, normalize=True)
+    val, per_layer = lp(a, b, normalize=True, spatial=True,
+                        ret_per_layer=True)
+    assert float(jnp.max(same)) < 1e-5
+    assert len(per_layer) == 7 and val.shape == (2, 32, 32, 1)
