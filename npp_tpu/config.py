@@ -44,6 +44,9 @@ class BaseConfig:
     canvas_multiple: int = 64           # pad images to this multiple so
                                         # compiled executables are shared
                                         # across image sizes (0 = off)
+    canvas_override: Tuple[int, int] = ()  # pad ALL images to this exact
+                                        # canvas (suite-wide executable
+                                        # reuse; () = use canvas_multiple)
     fused_embedding: bool = False       # route the fit through the Pallas
                                         # fused embed+matmul model
                                         # (nn/fused_mlp.py); numerically
@@ -77,6 +80,15 @@ class FitConfig(BaseConfig):
                                         # lattices feed noise channels
                                         # (ROADMAP round-1 ablation). 0 = off
                                         # (reference behaviour).
+
+    # TPU-repo addition (no reference equivalent; default off): learnable
+    # smooth coordinate warp applied before the periodic embedding — models
+    # perspective/lens drift of the lattice so texture phase extrapolates
+    # into large holes (nn/warp.py).
+    warp_field: bool = False
+    warp_width: int = 32
+    warp_depth: int = 2
+    warp_max_px: float = 12.0
 
     use_adaptive_perceptual_loss: bool = True
     no_pix_loss: bool = False
@@ -124,6 +136,14 @@ class SearchConfig(BaseConfig):
     contextual_weight: float = 1.0
     perceptual_weight: float = 30.0
     N_iters: int = 300
+    # TPU-repo additions (no reference equivalent): static-shape padding so
+    # the ranking fit/eval executables are reused across images. Candidate
+    # lists are padded to rank_pad_candidates by repeating candidate 0
+    # (padded distances are discarded); the eval crop is rounded up to a
+    # multiple of crop_bucket px (extra area is zero in both pred and gt
+    # canvases, identical for all candidates). 0 disables either.
+    rank_pad_candidates: int = 9
+    crop_bucket: int = 64
 
 
 @dataclass(frozen=True)

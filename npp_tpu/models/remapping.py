@@ -59,7 +59,7 @@ def run_remapping(cfg, save: bool = True):
     evals = {}
 
     def eval_hook(i: int, state: FitState, render):
-        res = evaluate(data, state.params['mlp'], render,
+        res = evaluate(data, state.params, render,
                        state.params['adaptive_pix'], cfg.loss_type)
         evals[i] = {k: v for k, v in res.items() if np.isscalar(v)}
         print(f"[remapping] eval@{i}: "
@@ -75,6 +75,6 @@ def run_remapping(cfg, save: bool = True):
 
     result = fit_image(cfg, REMAPPING_TASK, data, eval_hook=eval_hook,
                        log_every=cfg.i_print)
-    final = evaluate(data, result.state.params['mlp'], result.render,
+    final = evaluate(data, result.state.params, result.render,
                      result.state.params['adaptive_pix'], cfg.loss_type)
     return result, final, evals

@@ -120,7 +120,7 @@ def run_segmentation(cfg, save: bool = True):
 
     def eval_hook(i: int, state: FitState, render):
         h, w = data.img.shape[:2]
-        pred = np.asarray(render(state.params['mlp'], h, w))
+        pred = np.asarray(render(state.params, h, w))
         res = refine_segmentation(cfg, data, pred, lpips_alex)
         results[i] = res
         frac = float(res['non_period_mask'].mean())
@@ -148,7 +148,7 @@ def run_segmentation(cfg, save: bool = True):
                        log_every=cfg.i_print)
     if not results:  # ensure at least one refinement at the end
         h, w = data.img.shape[:2]
-        pred = np.asarray(result.render(result.state.params['mlp'], h, w))
+        pred = np.asarray(result.render(result.state.params, h, w))
         results[cfg.N_iters - 1] = refine_segmentation(cfg, data, pred,
                                                        lpips_alex)
     return result, results

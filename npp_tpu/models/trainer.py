@@ -73,11 +73,21 @@ def make_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return lambda step: cfg.lrate * (0.1 ** (step / (cfg.lrate_decay * 100.0)))
 
 
-def apply_model(model, mlp_params, embedder, coords):
+def apply_model(model, params, embedder, coords, warp=None):
     """Uniform forward for the two model families: the standard MLPs take
     the precomputed embedding; NPPNetFused takes raw coords + geometry and
-    runs the Pallas fused embed+matmul path."""
+    runs the Pallas fused embed+matmul path.
+
+    `params` is either the full fit-params dict ({'mlp': ..., 'warp'?: ...})
+    or a bare MLP tree (legacy callers). With a warp module + params present,
+    coordinates pass through the learnable smooth deformation first
+    (nn/warp.py; models perspective drift of the lattice)."""
     from ..nn.fused_mlp import NPPNetFused
+    mlp_params = params['mlp'] if isinstance(params, dict) and 'mlp' in params \
+        else params
+    if warp is not None and isinstance(params, dict) and 'warp' in params:
+        from ..nn.warp import warp_coords
+        coords = warp_coords(warp, params['warp'], coords, embedder.res)
     if isinstance(model, NPPNetFused):
         from ..ops.fused_embed import EmbedGeom
         g1 = EmbedGeom.from_embedder(embedder, 0, 1)
@@ -101,6 +111,15 @@ def init_fit_state(cfg, task: TaskSpec, model, embedder, rng,
         'mlp': mlp_params,
         'adaptive_pix': adaptive_init(3),
     }
+    from ..nn.warp import make_warp
+    warp = make_warp(cfg)
+    if warp is not None:
+        if isinstance(model, NPPNetFused):
+            raise ValueError('warp_field requires gradient flow through '
+                             'coordinates; the fused kernel stops it '
+                             '(set fused_embedding=False)')
+        params['warp'] = warp.init(jax.random.fold_in(rng, 7),
+                                   jnp.zeros((1, 2)))['params']
     if percep is not None and cfg.use_adaptive_perceptual_loss:
         params['adaptive_percep'] = percep.init_adaptive()
     if style is not None and getattr(cfg, 'use_adaptive_style_loss', False):
@@ -120,10 +139,13 @@ def build_loss_fn(cfg, task: TaskSpec, model,
     use_style = task.use_style and getattr(cfg, 'use_style_loss', False) \
         and style is not None
 
-    def mlp_rgb(mlp_params, embedder, coords):
+    from ..nn.warp import make_warp
+    warp = make_warp(cfg)
+
+    def mlp_rgb(params, embedder, coords):
         from ..nn.mlp import render_activation
-        raw = apply_model(model, mlp_params, embedder,
-                          coords.astype(jnp.float32))
+        raw = apply_model(model, params, embedder,
+                          coords.astype(jnp.float32), warp=warp)
         return render_activation(raw, cfg.normalize_type)
 
     def loss_fn(params, embedder, consts: FitConsts, rng):
@@ -150,7 +172,7 @@ def build_loss_fn(cfg, task: TaskSpec, model,
         # ---- one fused MLP forward over pixels + patch pixels
         patch_coords = batch.fake_coords.reshape(-1, 2)
         all_coords = jnp.concatenate([pix_coords, patch_coords], 0)
-        pred = mlp_rgb(params['mlp'], embedder, all_coords)
+        pred = mlp_rgb(params, embedder, all_coords)
         pred_pix = pred[:n_rand]
         pred_patch = pred[n_rand:].reshape(patch_num, patch_size, patch_size, 3)
 
@@ -286,8 +308,10 @@ def make_render(cfg, model, embedder, chunk: int = 1 << 16):
     padding to a multiple of `chunk`; lax.map keeps peak memory at one chunk's
     activations."""
     from ..nn.mlp import render_activation
+    from ..nn.warp import make_warp
 
     import contextlib
+    warp = make_warp(cfg)
 
     @partial(jax.jit, static_argnames=('h', 'w'))
     def render_image(params, h: int, w: int):
@@ -299,7 +323,7 @@ def make_render(cfg, model, embedder, chunk: int = 1 << 16):
         coords = coords.reshape(-1, chunk, 2).astype(jnp.float32)
 
         def body(c):
-            raw = apply_model(model, params, embedder, c)
+            raw = apply_model(model, params, embedder, c, warp=warp)
             return render_activation(raw, cfg.normalize_type)
 
         ctx = jax.default_matmul_precision(cfg.matmul_precision) \

@@ -8,11 +8,13 @@ no torchvision and no network egress, so weights resolve in this order:
  1. `npp_tpu/assets/<name>.npz`            (converted, committed or user-made)
  2. `$NPP_TPU_WEIGHTS_DIR/<name>.npz`      (user-supplied directory)
  3. `$NPP_TPU_TORCH_WEIGHTS/<name>.pth`    (converted on the fly via torch)
- 4. deterministic fallback init            (fixed per-name seed, flagged)
+ 4. analytic structured weights            (nn/analytic.py: Gabor stem +
+                                            orthogonal mixing; default
+                                            fallback, flagged 'analytic')
+ 5. deterministic flat random init         (NPP_TPU_FALLBACK=random)
 
-The fallback keeps every pipeline runnable: random conv filters still yield
-usable signals for periodicity search (any linear filter preserves lattice
-structure) and for relative perceptual comparisons, but absolute LPIPS values
+The fallback keeps every pipeline runnable with usable *relative* perceptual
+signals (measured: scripts/ab_fallback_weights.py), but absolute LPIPS values
 will NOT match the published metric. `WeightReport` records which path was
 taken so callers/logs can surface it. `scripts/convert_torch_weights.py`
 produces the .npz files from torchvision checkpoints offline.
@@ -36,11 +38,13 @@ ASSET_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), 'assets')
 @dataclass
 class WeightReport:
     name: str
-    source: str   # 'asset' | 'weights_dir' | 'torch' | 'random'
+    source: str   # 'asset' | 'weights_dir' | 'torch' | 'analytic' | 'random'
 
     @property
     def pretrained(self) -> bool:
-        return self.source != 'random'
+        """True only for converted checkpoints. Analytic weights are
+        structured but NOT calibrated to the reference's thresholds."""
+        return self.source not in ('random', 'analytic')
 
 
 _REPORTS: Dict[str, WeightReport] = {}
@@ -105,6 +109,13 @@ def load_tower_params(name: str, module, example_input) -> Dict[str, Any]:
     else:
         seed = int.from_bytes(name.encode()[:4].ljust(4, b'\0'), 'little')
         params = module.init(jax.random.PRNGKey(seed), example_input)['params']
+        if os.environ.get('NPP_TPU_FALLBACK', 'analytic') == 'analytic':
+            # structured training-free weights (Gabor stem + orthogonal
+            # mixing) instead of a flat random init; see nn/analytic.py
+            from .analytic import structured_tower_params
+            params = jax.tree.map(jnp.asarray,
+                                  structured_tower_params(params, seed))
+            src = 'analytic'
     _REPORTS[name] = WeightReport(name, src)
     return params
 

@@ -80,7 +80,7 @@ def _fused(static, coords, angles, periods, bands, w, b):
 
 
 def _fused_fwd_impl(static, coords, angles, periods, bands, w, b):
-    (res, fs, fo, ao, tile_n, interpret) = static
+    (res, fs, fo, ao, tile_n, _bwd_partials, interpret) = static
     n, _ = coords.shape
     d_emb, f = w.shape
     n_pad = _round_up(max(n, tile_n), tile_n)
@@ -123,47 +123,73 @@ def _fused_fwd(static, coords, angles, periods, bands, w, b):
 
 
 def _fused_bwd(static, resids, g):
-    (res, fs, fo, ao, tile_n, interpret) = static
+    (res, fs, fo, ao, tile_n, bwd_partials, interpret) = static
     coords, angles, periods, bands, w = resids
     n = coords.shape[0]
     d_emb, f = w.shape
     n_pad = _round_up(max(n, tile_n), tile_n)
     coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     g_p = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+    n_tiles = n_pad // tile_n
 
-    def kernel(c_ref, a_ref, p_ref, fb_ref, g_ref, dw_ref):
-        i = pl.program_id(0)
+    in_specs = [
+        pl.BlockSpec((tile_n, 2), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(angles.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(periods.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(bands.shape, lambda i: (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, f), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
 
-        @pl.when(i == 0)
-        def _():
-            dw_ref[:] = jnp.zeros_like(dw_ref)
+    if bwd_partials:
+        # parallel-partials dW: every grid step writes its own (d_emb, f)
+        # block (no cross-step accumulator serialisation); XLA tree-sums
+        # the G partials afterwards. HBM cost: G x d_emb x f x 4B.
+        def kernel(c_ref, a_ref, p_ref, fb_ref, g_ref, dw_ref):
+            emb = embed_fn(c_ref[:], EmbedGeom(a_ref[:], p_ref[:], fb_ref[:]),
+                           res, fs, fo, ao)
+            dw_ref[0] = jax.lax.dot_general(
+                emb, g_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-        emb = embed_fn(c_ref[:], EmbedGeom(a_ref[:], p_ref[:], fb_ref[:]),
-                       res, fs, fo, ao)
-        dw_ref[:] += jax.lax.dot_general(
-            emb, g_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        partials = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, d_emb, f), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, d_emb, f), jnp.float32),
+            interpret=interpret,
+        )(coords_p, angles, periods, bands, g_p)
+        dw = jnp.sum(partials, axis=0)
+    else:
+        # sequential revisited accumulator (one dW block, serialised grid)
+        def kernel(c_ref, a_ref, p_ref, fb_ref, g_ref, dw_ref):
+            i = pl.program_id(0)
 
-    dw = pl.pallas_call(
-        kernel,
-        grid=(n_pad // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(angles.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(periods.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(bands.shape, lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, f), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((d_emb, f), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d_emb, f), jnp.float32),
-        interpret=interpret,
-    )(coords_p, angles, periods, bands, g_p)
+            @pl.when(i == 0)
+            def _():
+                dw_ref[:] = jnp.zeros_like(dw_ref)
+
+            emb = embed_fn(c_ref[:], EmbedGeom(a_ref[:], p_ref[:], fb_ref[:]),
+                           res, fs, fo, ao)
+            dw_ref[:] += jax.lax.dot_general(
+                emb, g_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        dw = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((d_emb, f), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((d_emb, f), jnp.float32),
+            interpret=interpret,
+        )(coords_p, angles, periods, bands, g_p)
     db = jnp.sum(g, axis=0)
     zeros = lambda x: jnp.zeros_like(x)
     return (zeros(coords), zeros(angles), zeros(periods), zeros(bands), dw, db)
@@ -175,11 +201,14 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 def fused_embed_matmul(coords: jnp.ndarray, geom: EmbedGeom, w: jnp.ndarray,
                        b: jnp.ndarray, *, res: Tuple[int, int],
                        freq_scales, freq_offsets, angle_offsets,
-                       tile_n: int = 512, interpret: bool = False
-                       ) -> jnp.ndarray:
+                       tile_n: int = 512, bwd_partials: bool = True,
+                       interpret: bool = False) -> jnp.ndarray:
     """fourier(periodic_warp(coords)) @ w + b without materialising the
-    embedding in HBM. w: (embed_dim_of_geom, F)."""
+    embedding in HBM. w: (embed_dim_of_geom, F). bwd_partials selects the
+    parallel-partials dW kernel (G partial blocks + XLA tree-sum) over the
+    sequential revisited-accumulator variant."""
     static = (tuple(res), tuple(freq_scales), tuple(freq_offsets),
-              tuple(angle_offsets), int(tile_n), bool(interpret))
+              tuple(angle_offsets), int(tile_n), bool(bwd_partials),
+              bool(interpret))
     return _fused(static, coords, geom.angles, geom.periods, geom.bands,
                   w, b)

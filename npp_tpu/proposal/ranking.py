@@ -31,9 +31,20 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
                    percep: LPIPS, contextual: ContextualLoss) -> np.ndarray:
     """Returns distance (lower = better periodicity) per candidate."""
     h, w = masked_img.shape[:2]
-    n_cand = len(all_angles)
-    angles = jnp.asarray(np.asarray(all_angles, np.float32))    # (N, 2)
-    periods = jnp.asarray(np.asarray(all_periods, np.float32))  # (N, 2)
+    n_real = len(all_angles)
+    # pad the candidate axis to a static count (executable reuse across
+    # images); padded slots repeat candidate 0 and their distances are
+    # discarded before returning
+    n_cand = max(n_real, int(getattr(cfg, 'rank_pad_candidates', 0)))
+    ang_np = np.asarray(all_angles, np.float32)
+    per_np = np.asarray(all_periods, np.float32)
+    if n_cand > n_real:
+        pad = np.repeat(ang_np[:1], n_cand - n_real, axis=0)
+        ang_np = np.concatenate([ang_np, pad], 0)
+        per_np = np.concatenate([per_np,
+                                 np.repeat(per_np[:1], n_cand - n_real, 0)], 0)
+    angles = jnp.asarray(ang_np)    # (N, 2)
+    periods = jnp.asarray(per_np)   # (N, 2)
 
     bands = gaussian_freq_bands(jax.random.PRNGKey(cfg.seed), cfg.multires)
     p_dim = periodic_embed_dim(cfg, include_input=False)
@@ -115,15 +126,19 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     val = np.asarray(i_val, np.int64)
     hmin, hmax = int(val[:, 0].min()), int(val[:, 0].max())
     wmin, wmax = int(val[:, 1].min()), int(val[:, 1].max())
-    # the deepest VGG taps need >= 32 px; expand tiny crops (zeros match in
-    # pred and gt canvases so scores are unaffected)
-    min_crop = 32
-    if hmax - hmin < min_crop:
-        hmax = min(h, hmin + min_crop)
-        hmin = max(0, hmax - min_crop)
-    if wmax - wmin < min_crop:
-        wmax = min(w, wmin + min_crop)
-        wmin = max(0, wmax - min_crop)
+    # the deepest VGG taps need >= 32 px; additionally round the crop up to
+    # a bucket multiple so the eval executable is shared across images
+    # (expansion area is zero in both pred and gt canvases, identical for
+    # every candidate, so within-image ranking is unaffected)
+    bucket = max(int(getattr(cfg, 'crop_bucket', 0)), 32)
+
+    def _bucketed(lo, hi, limit):
+        size = min(-(-max(hi - lo, 32) // bucket) * bucket, limit)
+        hi = min(limit, lo + size)
+        lo = max(0, hi - size)
+        return lo, hi
+    hmin, hmax = _bucketed(hmin, hmax, h)
+    wmin, wmax = _bucketed(wmin, wmax, w)
     val_j = jnp.asarray(val.astype(np.int32))
 
     chunk = 1 << 14
@@ -153,9 +168,9 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
                 val_cx * cfg.contextual_weight)
 
     distances = []
-    for c in range(n_cand):
+    for c in range(n_real):
         p_c = jax.tree.map(lambda x: x[c], params)
         d = float(eval_candidate(p_c, angles[c], periods[c]))
         distances.append(d)
-        print(f'[search] candidate {c + 1}/{n_cand} distance={d:.4f}')
+        print(f'[search] candidate {c + 1}/{n_real} distance={d:.4f}')
     return np.asarray(distances)

@@ -29,11 +29,23 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
     valid_mask = data['valid_mask']
 
     # pad to a shared canvas so ranking executables are reused across images
-    # (pad region is invalid: contributes nothing to detection or ranking)
+    # (pad region is invalid: contributes nothing to detection or ranking).
+    # canvas_override pads every image to ONE suite-wide canvas; otherwise
+    # round up to canvas_multiple per image.
     oh, ow = masked_img.shape[:2]
+    override = tuple(getattr(cfg, 'canvas_override', ()) or ())
     m = getattr(cfg, 'canvas_multiple', 0)
-    if m and (oh % m or ow % m):
+    if override and (override[0] < oh or override[1] < ow):
+        print(f'[search] canvas_override {override} smaller than image '
+              f'({oh}x{ow}); falling back to per-image bucketing')
+        override = ()
+    if override:
+        hh, ww = override
+    elif m:
         hh, ww = -(-oh // m) * m, -(-ow // m) * m
+    else:
+        hh, ww = oh, ow
+    if (hh, ww) != (oh, ow):
         pad3 = ((0, hh - oh), (0, ww - ow), (0, 0))
         masked_img = np.pad(masked_img, pad3)
         unknown_mask = np.pad(unknown_mask, pad3)

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Quantify segmentation (VERDICT round-1 next #5): mask IoU instead of an
+unanchored non-periodic fraction.
+
+Two measurements:
+ 1. SYNTHETIC ground truth: generated near-periodic images with pasted
+    non-periodic objects and a known non-periodic mask. Full pipeline
+    (search -> coarse seg -> fit -> refinement) runs at (scaled) reference
+    budgets; reports IoU of the refined mask AND of the coarse-init mask
+    against GT — refinement must beat its init to justify the p95
+    autocalibration.
+ 2. BUNDLED examples: IoU of refined vs coarse-init (no GT exists for them;
+    the refinement delta + visual artifacts are the evidence).
+
+Run on the TPU:
+  python scripts/eval_segmentation_iou.py [--iters-scale 1.0] [--out DIR]
+Prints one JSON line per example and a summary line.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_example(seed, h=256, w=320):
+    """Near-periodic texture + non-periodic blobs, built so the superpixel
+    color statistics behave like the bundled real examples: the texture
+    oscillates around a CONSTANT local mean (period << superpixel size, so
+    per-superpixel color means are uniform), while blobs have a distinct
+    base color — the regime the coarse GMM+graph-cut is designed for
+    (reference: loaders.py:141-205)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    py, px = rng.choice([8, 10, 12]), rng.choice([10, 12, 16])
+    ph = rng.uniform(0, 2 * np.pi, 3)
+    base = np.asarray([0.55, 0.5, 0.42])
+    osc = np.stack([np.sin(2 * np.pi * xx / px + ph[0]),
+                    np.sin(2 * np.pi * yy / py + ph[1]),
+                    np.sin(2 * np.pi * (xx / px + yy / py) + ph[2])], -1)
+    amp = np.asarray([0.22, 0.18, 0.1])
+    img = base + amp * osc + rng.randn(h, w, 3) * 0.015
+    gt_mask = np.zeros((h, w), bool)
+    for b in range(2):  # two irregular blobs > remove_small_objects size
+        cy, cx_ = rng.randint(h // 4, 3 * h // 4), rng.randint(w // 4, 3 * w // 4)
+        ry, rx = rng.randint(24, 40), rng.randint(28, 46)
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx_) / rx) ** 2 < 1
+        gt_mask |= blob
+        color = np.asarray([0.15, 0.55, 0.2]) if b == 0 \
+            else np.asarray([0.7, 0.25, 0.15])
+        tex = color + rng.randn(h, w, 3) * 0.05 \
+            + 0.1 * np.sin(0.0004 * ((yy - cy) ** 2 + (xx - cx_) ** 2))[..., None]
+        img = np.where(blob[..., None], tex, img)
+    return np.clip(img, 0, 1), gt_mask
+
+
+def iou(a, b):
+    a = a.astype(bool)
+    b = b.astype(bool)
+    u = (a | b).sum()
+    return float((a & b).sum() / u) if u else 1.0
+
+
+def run_example(name, in_dir, out_root, iters_scale, search_iters=None):
+    import cv2
+    from npp_tpu.config import (SearchConfig, SegmentationConfig, replace)
+    from npp_tpu.proposal.search import run_search
+    from npp_tpu.models.segmentation import run_segmentation
+
+    det_root = os.path.join(out_root, 'detected')
+    det_dir = os.path.join(det_root, name)
+    if not os.path.exists(os.path.join(det_dir, 'config.odgt')):
+        scfg = replace(SearchConfig(), datadir=in_dir, outdir=det_root)
+        if search_iters:
+            scfg = replace(scfg, N_iters=search_iters)
+        run_search(scfg)
+    cfg = replace(SegmentationConfig(), datadir=det_dir,
+                  basedir=os.path.join(out_root, 'results'))
+    if iters_scale != 1.0:
+        cfg = replace(cfg, N_iters=max(2, int(cfg.N_iters * iters_scale)),
+                      i_testset=max(1, int(cfg.i_testset * iters_scale)))
+    result, results = run_segmentation(cfg)
+    last = results[max(results)]
+    return cfg, last
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--iters-scale', type=float, default=1.0)
+    ap.add_argument('--out', default='/tmp/npp_seg_iou')
+    ap.add_argument('--n-synth', type=int, default=3)
+    ap.add_argument('--skip-bundled', action='store_true')
+    ap.add_argument('--search-iters', type=int, default=None,
+                    help='override ranking fit iters (CPU smoke)')
+    args = ap.parse_args()
+
+    import cv2
+    from npp_tpu.models.loaders import load_segmentation
+    from npp_tpu.config import SegmentationConfig, replace
+
+    records = []
+
+    # ---- synthetic GT examples
+    for s in range(args.n_synth):
+        name = f'synth{s}'
+        in_dir = os.path.join(args.out, 'input', name)
+        os.makedirs(in_dir, exist_ok=True)
+        img, gt_mask = synth_example(seed=100 + s)
+        cv2.imwrite(os.path.join(in_dir, 'gt_img.png'),
+                    np.uint8(img[..., ::-1] * 255))
+        cv2.imwrite(os.path.join(in_dir, 'masked_img.png'),
+                    np.uint8(img[..., ::-1] * 255))
+        cv2.imwrite(os.path.join(in_dir, 'unknown_mask.png'),
+                    np.full(img.shape[:2], 255, np.uint8))
+        cv2.imwrite(os.path.join(in_dir, 'valid_mask.png'),
+                    np.full(img.shape[:2], 255, np.uint8))
+        np.save(os.path.join(in_dir, 'gt_nonperiodic.npy'), gt_mask)
+
+        cfg, last = run_example(name, in_dir, args.out, args.iters_scale,
+                                search_iters=args.search_iters)
+        data = load_segmentation(replace(
+            cfg, datadir=os.path.join(args.out, 'detected', name)))
+        oh, ow = data.orig_shape
+        init_mask = (data.extra['non_period_mask'] > 0)[..., 0][:oh, :ow]
+        fin = last['non_period_mask'][..., 0] > 0
+        rec = {'example': name,
+               'iou_refined_vs_gt': round(iou(fin, gt_mask), 4),
+               'iou_init_vs_gt': round(iou(init_mask, gt_mask), 4),
+               'iou_refined_vs_init': round(iou(fin, init_mask), 4),
+               'frac_refined': round(float(fin.mean()), 4),
+               'frac_gt': round(float(gt_mask.mean()), 4)}
+        records.append(rec)
+        print(json.dumps(rec))
+
+    # ---- bundled examples: refined vs coarse-init
+    if not args.skip_bundled:
+        in_root = '/root/reference/data/segmentation/input'
+        for name in sorted(os.listdir(in_root)):
+            in_dir = os.path.join(in_root, name)
+            if not os.path.exists(os.path.join(in_dir, 'gt_img.png')):
+                continue
+            cfg, last = run_example(name, in_dir, args.out, args.iters_scale,
+                                search_iters=args.search_iters)
+            data = load_segmentation(replace(
+                cfg, datadir=os.path.join(args.out, 'detected', name)))
+            oh, ow = data.orig_shape
+            init_mask = (data.extra['non_period_mask'] > 0)[..., 0][:oh, :ow]
+            fin = last['non_period_mask'][..., 0] > 0
+            rec = {'example': name,
+                   'iou_refined_vs_init': round(iou(fin, init_mask), 4),
+                   'frac_init': round(float(init_mask.mean()), 4),
+                   'frac_refined': round(float(fin.mean()), 4)}
+            records.append(rec)
+            print(json.dumps(rec))
+
+    synth = [r for r in records if r['example'].startswith('synth')]
+    if synth:
+        summary = {
+            'mean_iou_refined_vs_gt': round(
+                float(np.mean([r['iou_refined_vs_gt'] for r in synth])), 4),
+            'mean_iou_init_vs_gt': round(
+                float(np.mean([r['iou_init_vs_gt'] for r in synth])), 4),
+        }
+        summary['refinement_beats_init'] = \
+            summary['mean_iou_refined_vs_gt'] > summary['mean_iou_init_vs_gt']
+        print(json.dumps({'summary': summary}))
+    with open(os.path.join(args.out, 'iou_records.json'), 'w') as f:
+        json.dump(records, f, indent=1)
+
+
+if __name__ == '__main__':
+    main()

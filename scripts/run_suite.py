@@ -29,6 +29,12 @@ def main():
     ap.add_argument('--iters-scale', type=float, default=1.0)
     ap.add_argument('--skip-search', action='store_true',
                     help='reuse existing detected dirs')
+    ap.add_argument('--no-global-canvas', action='store_true',
+                    help='per-image canvas bucketing instead of one '
+                         'suite-wide search canvas (more recompiles)')
+    ap.add_argument('--aux-gate-ratio', type=float, default=None,
+                    help='drop aux proposals whose ranking distance exceeds '
+                         'ratio x top-1 (fit tasks only)')
     args = ap.parse_args()
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
@@ -52,6 +58,28 @@ def main():
         'remapping': RemappingConfig,
     }
 
+    # one suite-wide search canvas: every ranking/detection executable is
+    # compiled once and reused by all images (compile dominates search
+    # wall-clock through the remote-compile relay)
+    global_canvas = ()
+    if not args.no_global_canvas:
+        import cv2
+        mult = SearchConfig().canvas_multiple or 64
+        hh = ww = 0
+        for task in args.tasks.split(','):
+            in_dir = os.path.join(args.input_root, task, 'input')
+            if not os.path.isdir(in_dir):
+                continue
+            for n in os.listdir(in_dir):
+                p = os.path.join(in_dir, n, 'gt_img.png')
+                if os.path.exists(p):
+                    im = cv2.imread(p)
+                    hh = max(hh, im.shape[0])
+                    ww = max(ww, im.shape[1])
+        if hh:
+            global_canvas = (-(-hh // mult) * mult, -(-ww // mult) * mult)
+            print(f'[suite] global search canvas: {global_canvas}')
+
     for task in args.tasks.split(','):
         in_dir = os.path.join(args.input_root, task, 'input')
         if not os.path.isdir(in_dir):
@@ -70,7 +98,8 @@ def main():
                     os.path.join(det_dir, 'config.odgt')):
                 scfg = replace(SearchConfig(),
                                datadir=os.path.join(in_dir, name),
-                               outdir=det_root)
+                               outdir=det_root,
+                               canvas_override=global_canvas)
                 t0 = time.time()
                 with timer.phase(f'search/{task}'):
                     from npp_tpu.proposal.search import run_search
@@ -80,6 +109,8 @@ def main():
                 rec['top_periods'] = odgt['selected_periods'][:3]
 
             cfg = replace(task_cfg[task](), datadir=det_dir, basedir=res_root)
+            if args.aux_gate_ratio is not None:
+                cfg = replace(cfg, aux_gate_ratio=args.aux_gate_ratio)
             if args.iters_scale != 1.0:
                 cfg = replace(cfg,
                               N_iters=max(2, int(cfg.N_iters * args.iters_scale)),

@@ -48,7 +48,11 @@ def test_fused_matmul_matches_unfused(setup):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_fused_grads_match(setup):
+import pytest
+
+
+@pytest.mark.parametrize('bwd_partials', [True, False])
+def test_fused_grads_match(setup, bwd_partials):
     emb, coords = setup
     geom = EmbedGeom.from_embedder(emb, 0, 1)
     rng = np.random.RandomState(2)
@@ -60,7 +64,8 @@ def test_fused_grads_match(setup):
                                  freq_scales=CFG.freq_scales,
                                  freq_offsets=CFG.freq_offsets,
                                  angle_offsets=CFG.angle_offsets,
-                                 tile_n=128, interpret=True)
+                                 tile_n=128, bwd_partials=bwd_partials,
+                                 interpret=True)
         return jnp.sum(jnp.sin(out))
 
     def f_ref(w, b):

@@ -74,3 +74,35 @@ def test_run_search_e2e_writes_consumable_odgt(tmp_path):
         dx, dy = s
         assert abs(dx / 16.0 - round(dx / 16.0)) < 0.3 or \
             abs(dy / 12.0 - round(dy / 12.0)) < 0.3
+
+
+def test_rank_padding_and_crop_bucket_invariance():
+    """Static-shape knobs (rank_pad_candidates, crop_bucket) must not change
+    the returned distances' ordering or count vs the unpadded path."""
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.losses.contextual import ContextualLoss
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.proposal.ranking import rank_proposals
+
+    img = synth()
+    h, w = img.shape[:2]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    val_mask = (yy > 24) & (yy < 40) & (xx > 28) & (xx < 44)
+    i_val = np.stack(np.nonzero(val_mask), 1)
+    i_train = np.stack(np.nonzero(~val_mask), 1)
+    angles = [[90.0, 180.0], [90.0, 180.0], [90.0, 180.0]]
+    periods = [[16.0, 12.0], [7.0, 5.0], [11.0, 23.0]]
+    percep, cx = LPIPS(net='vgg'), ContextualLoss(use_vgg=True)
+
+    base = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=128,
+                   N_iters=40)
+    d_plain = rank_proposals(replace(base, rank_pad_candidates=0,
+                                     crop_bucket=0),
+                             img, i_train, i_val, angles, periods, percep, cx)
+    d_padded = rank_proposals(replace(base, rank_pad_candidates=9,
+                                      crop_bucket=64),
+                              img, i_train, i_val, angles, periods, percep, cx)
+    assert d_plain.shape == d_padded.shape == (3,)
+    # padded fit is bit-identical per candidate (same init, same batches);
+    # only the eval crop differs (bucketed), which preserves ordering
+    assert list(np.argsort(d_plain)) == list(np.argsort(d_padded))
