@@ -153,9 +153,12 @@ def make_sharded_render(cfg, model, mesh: Mesh, pixels_axis: str = 'pixels',
                         chunk: int = 1 << 13):
     """Full-frame render with the coordinate axis sharded across devices —
     each chip renders its slice of pixels; the output gather is XLA's."""
+    from ..models.trainer import apply_model
     from ..nn.mlp import render_activation
+    from ..nn.warp import make_warp
 
     n_dev = mesh.shape[pixels_axis]
+    warp = make_warp(cfg)
 
     @partial(jax.jit, static_argnames=('h', 'w'))
     def render_image(params, embedder, h: int, w: int):
@@ -168,7 +171,7 @@ def make_sharded_render(cfg, model, mesh: Mesh, pixels_axis: str = 'pixels',
             coords, NamedSharding(mesh, P(pixels_axis, None)))
 
         def body(c):
-            raw = model.apply({'params': params}, embedder.embed(c))
+            raw = apply_model(model, params, embedder, c, warp=warp)
             return render_activation(raw, cfg.normalize_type)
 
         out = jax.lax.map(body, coords.reshape(-1, chunk, 2))
