@@ -47,11 +47,11 @@ class BaseConfig:
     canvas_override: Tuple[int, int] = ()  # pad ALL images to this exact
                                         # canvas (suite-wide executable
                                         # reuse; () = use canvas_multiple)
-    fused_embedding: bool = False       # route the fit through the Pallas
-                                        # fused embed+matmul model
-                                        # (nn/fused_mlp.py); numerically
-                                        # identical, currently slower on
-                                        # bwd — see ROADMAP.md
+    # NOTE: a Pallas fused embed+matmul path existed through round 2 and was
+    # REMOVED after hardware A/B: XLA's producer fusion of the on-the-fly
+    # embedding is already optimal at these sizes (fwd+bwd 6.0 ms vs 16.5 ms
+    # fused fwd alone at N=59392, d_emb=1386; round-1: fused dW 7x slower).
+    # See ROADMAP.md "fused kernel" for the full record.
 
 
 @dataclass(frozen=True)

@@ -41,18 +41,7 @@ def build_components(cfg, data: TaskData, task: TaskSpec) -> Components:
                                   np.asarray(data.selected_periods), (h, w),
                                   jax.random.PRNGKey(cfg.seed))
     k = min(cfg.p_topk, len(data.selected_angles))
-    if k > 1 and getattr(cfg, 'fused_embedding', False):
-        import jax as _jax
-        from ..nn.fused_mlp import NPPNetFused
-        model = NPPNetFused(
-            top1_dim=embedder.top1_dim,
-            aux_dim=embedder.out_dim - embedder.top1_dim, res=(h, w),
-            freq_scales=tuple(cfg.freq_scales),
-            freq_offsets=tuple(cfg.freq_offsets),
-            angle_offsets=tuple(cfg.angle_offsets), depth=cfg.netdepth,
-            width=cfg.netwidth, activation=cfg.activation,
-            interpret=_jax.default_backend() == 'cpu')
-    elif k > 1:
+    if k > 1:
         model = NPPNet(input_ch_periodic=embedder.top1_dim,
                        input_ch_periodic_aux=embedder.out_dim - embedder.top1_dim,
                        depth=cfg.netdepth, width=cfg.netwidth,

@@ -74,39 +74,26 @@ def make_schedule(cfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 def apply_model(model, params, embedder, coords, warp=None):
-    """Uniform forward for the two model families: the standard MLPs take
-    the precomputed embedding; NPPNetFused takes raw coords + geometry and
-    runs the Pallas fused embed+matmul path.
+    """Uniform forward: embed on the fly, apply the MLP (XLA fuses
+    coords -> warp -> sin/cos -> first matmul; a hand-written Pallas fusion
+    was removed after losing the hardware A/B — see config.py note).
 
     `params` is either the full fit-params dict ({'mlp': ..., 'warp'?: ...})
     or a bare MLP tree (legacy callers). With a warp module + params present,
     coordinates pass through the learnable smooth deformation first
     (nn/warp.py; models perspective drift of the lattice)."""
-    from ..nn.fused_mlp import NPPNetFused
     mlp_params = params['mlp'] if isinstance(params, dict) and 'mlp' in params \
         else params
     if warp is not None and isinstance(params, dict) and 'warp' in params:
         from ..nn.warp import warp_coords
         coords = warp_coords(warp, params['warp'], coords, embedder.res)
-    if isinstance(model, NPPNetFused):
-        from ..ops.fused_embed import EmbedGeom
-        g1 = EmbedGeom.from_embedder(embedder, 0, 1)
-        g2 = EmbedGeom.from_embedder(embedder, 1, None)
-        return model.apply({'params': mlp_params}, coords, g1, g2)
     return model.apply({'params': mlp_params}, embedder.embed(coords))
 
 
 def init_fit_state(cfg, task: TaskSpec, model, embedder, rng,
                    percep: Optional[LPIPS], style: Optional[StyleLoss]
                    ) -> Tuple[FitState, optax.GradientTransformation]:
-    from ..nn.fused_mlp import NPPNetFused
-    if isinstance(model, NPPNetFused):
-        from ..ops.fused_embed import EmbedGeom
-        mlp_params = model.init(
-            rng, jnp.zeros((1, 2)), EmbedGeom.from_embedder(embedder, 0, 1),
-            EmbedGeom.from_embedder(embedder, 1, None))['params']
-    else:
-        mlp_params = model.init(rng, jnp.zeros((1, embedder.out_dim)))['params']
+    mlp_params = model.init(rng, jnp.zeros((1, embedder.out_dim)))['params']
     params: Dict[str, Any] = {
         'mlp': mlp_params,
         'adaptive_pix': adaptive_init(3),
@@ -114,10 +101,6 @@ def init_fit_state(cfg, task: TaskSpec, model, embedder, rng,
     from ..nn.warp import make_warp
     warp = make_warp(cfg)
     if warp is not None:
-        if isinstance(model, NPPNetFused):
-            raise ValueError('warp_field requires gradient flow through '
-                             'coordinates; the fused kernel stops it '
-                             '(set fused_embedding=False)')
         params['warp'] = warp.init(jax.random.fold_in(rng, 7),
                                    jnp.zeros((1, 2)))['params']
     if percep is not None and cfg.use_adaptive_perceptual_loss:
