@@ -62,7 +62,7 @@ def main():
     out['top3_float32'] = [int(i) for i in top3['float32']]
     out['top3_bfloat16'] = [int(i) for i in top3['bfloat16']]
     out['top3_set_stable'] = sorted(top3['float32']) == sorted(top3['bfloat16'])
-    out['top1_stable'] = top3['float32'][0] == top3['bfloat16'][0]
+    out['top1_stable'] = bool(top3['float32'][0] == top3['bfloat16'][0])
     rel = np.abs(dists['float32'] - dists['bfloat16']) / \
         np.maximum(np.abs(dists['float32']), 1e-9)
     out['max_rel_distance_diff'] = round(float(rel.max()), 5)
