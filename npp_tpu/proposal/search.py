@@ -28,25 +28,19 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
     unknown_mask = data['unknown_mask']
     valid_mask = data['valid_mask']
 
-    # pad to a shared canvas so ranking executables are reused across images
-    # (pad region is invalid: contributes nothing to detection or ranking).
-    # canvas_override pads every image to ONE suite-wide canvas; otherwise
-    # round up to canvas_multiple per image.
+    # Two canvases:
+    #  - DETECTION runs on the tight per-image canvas (canvas_multiple
+    #    rounding only): the reference derives its shift search ranges from
+    #    the image dimensions (feature_searching.py:267-277), so padding to
+    #    a suite-wide canvas would inflate the candidate space and admit
+    #    degenerate near-canvas-size lattices;
+    #  - RANKING pads to cfg.canvas_override when set, so the 300-iter fit
+    #    and eval executables are shared by every image of a suite.
     oh, ow = masked_img.shape[:2]
-    override = tuple(getattr(cfg, 'canvas_override', ()) or ())
     m = getattr(cfg, 'canvas_multiple', 0)
-    if override and (override[0] < oh or override[1] < ow):
-        print(f'[search] canvas_override {override} smaller than image '
-              f'({oh}x{ow}); falling back to per-image bucketing')
-        override = ()
-    if override:
-        hh, ww = override
-    elif m:
-        hh, ww = -(-oh // m) * m, -(-ow // m) * m
-    else:
-        hh, ww = oh, ow
-    if (hh, ww) != (oh, ow):
-        pad3 = ((0, hh - oh), (0, ww - ow), (0, 0))
+    dh, dw = (-(-oh // m) * m, -(-ow // m) * m) if m else (oh, ow)
+    if (dh, dw) != (oh, ow):
+        pad3 = ((0, dh - oh), (0, dw - ow), (0, 0))
         masked_img = np.pad(masked_img, pad3)
         unknown_mask = np.pad(unknown_mask, pad3)
         valid_mask = np.pad(valid_mask, pad3)
@@ -57,6 +51,18 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         np.uint8(valid_mask * unknown_mask)[..., 0],
         repeat_range=cfg.search_range, edge_searching=cfg.edge_searching,
         gray_only=cfg.gray_only)
+
+    # ---- pad further to the suite-wide ranking canvas
+    override = tuple(getattr(cfg, 'canvas_override', ()) or ())
+    if override and (override[0] < dh or override[1] < dw):
+        print(f'[search] canvas_override {override} smaller than image '
+              f'({dh}x{dw}); keeping the per-image canvas')
+        override = ()
+    if override:
+        pad3 = ((0, override[0] - dh), (0, override[1] - dw), (0, 0))
+        masked_img = np.pad(masked_img, pad3)
+        unknown_mask = np.pad(unknown_mask, pad3)
+        valid_mask = np.pad(valid_mask, pad3)
     if not all_angles:
         raise RuntimeError(f'no periodicity candidates found for {name}')
     print(f'[search] {len(all_angles)} candidates detected')

@@ -106,3 +106,37 @@ def test_rank_padding_and_crop_bucket_invariance():
     # padded fit is bit-identical per candidate (same init, same batches);
     # only the eval crop differs (bucketed), which preserves ordering
     assert list(np.argsort(d_plain)) == list(np.argsort(d_padded))
+
+
+def test_detection_independent_of_ranking_canvas(tmp_path, monkeypatch):
+    """canvas_override must affect ONLY the ranking canvas: the detection
+    stage sees the tight per-image canvas either way (the reference derives
+    shift ranges from image dims, feature_searching.py:267-277 — a suite
+    canvas would admit degenerate near-canvas-size lattices)."""
+    import cv2
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.proposal import search as search_mod
+
+    img = synth(80, 88)
+    mask = np.ones(img.shape[:2])
+    d = tmp_path / 'in' / 'ex1'
+    os.makedirs(d)
+    cv2.imwrite(str(d / 'gt_img.png'), np.uint8(img[..., ::-1] * 255))
+    cv2.imwrite(str(d / 'masked_img.png'), np.uint8(img[..., ::-1] * 255))
+    cv2.imwrite(str(d / 'unknown_mask.png'), np.uint8(mask * 255))
+    cv2.imwrite(str(d / 'valid_mask.png'), np.uint8(mask * 255))
+
+    seen = []
+    real = search_mod.search_periodicity_by_feat
+
+    def spy(img_u8, mask_u8, **kw):
+        seen.append(img_u8.shape)
+        return real(img_u8, mask_u8, **kw)
+
+    monkeypatch.setattr(search_mod, 'search_periodicity_by_feat', spy)
+    cfg = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=64,
+                  N_iters=4, datadir=str(d), outdir=str(tmp_path / 'det'),
+                  canvas_override=(192, 256))
+    search_mod.run_search(cfg)
+    # detection ran at the tight (canvas_multiple) canvas, not the override
+    assert seen == [(128, 128, 3)]
