@@ -22,6 +22,24 @@ def psnr(a, b, m):
     return float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
 
 
+_LPIPS = None
+
+
+def lpips_val(a, b):
+    """Scalar LPIPS-vgg (analytic towers + calibrated lin heads when
+    pretrained checkpoints are absent — valid for RELATIVE comparison)."""
+    global _LPIPS
+    import jax.numpy as jnp
+    if _LPIPS is None:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from npp_tpu.losses.lpips import LPIPS
+        _LPIPS = LPIPS(net='vgg')
+    return float(_LPIPS(jnp.asarray(a[None], jnp.float32),
+                        jnp.asarray(b[None], jnp.float32),
+                        normalize=True)[0, 0, 0, 0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--suite-out', default='/tmp/npp_suite')
@@ -58,6 +76,17 @@ def main():
                 ours = ours[:gt.shape[0], :gt.shape[1]]
             row['psnr_ours'] = round(psnr(ours, gt, hole), 2)
             row['beats_telea'] = row['psnr_ours'] > row['psnr_telea']
+            # perceptual comparison over the hole bbox (hole-composited)
+            ys, xs = np.nonzero(hole[..., 0])
+            y0, y1 = ys.min(), ys.max() + 1
+            x0, x1 = xs.min(), xs.max() + 1
+            row['lpips_telea'] = round(lpips_val(
+                (telea * hole + gt * (1 - hole))[y0:y1, x0:x1],
+                gt[y0:y1, x0:x1]), 4)
+            row['lpips_ours'] = round(lpips_val(
+                (ours * hole + gt * (1 - hole))[y0:y1, x0:x1],
+                gt[y0:y1, x0:x1]), 4)
+            row['beats_telea_lpips'] = row['lpips_ours'] < row['lpips_telea']
             row['pred'] = pats[-1]
         rows.append(row)
         print(json.dumps(row))
@@ -66,6 +95,8 @@ def main():
     if done:
         print(json.dumps({'summary': {
             'beats_telea': sum(r['beats_telea'] for r in done),
+            'beats_telea_lpips': sum(r.get('beats_telea_lpips', False)
+                                     for r in done),
             'total': len(done),
             'mean_margin_db': round(float(np.mean(
                 [r['psnr_ours'] - r['psnr_telea'] for r in done])), 2)}}))
