@@ -128,3 +128,59 @@ def test_fit_images_applies_patch_decay(monkeypatch):
     R.fit_images(cfg, COMPLETION_TASK, [d], n_iters=30, mesh=mesh,
                  canvas_multiple=16)
     assert (1, 32) in seen and (2, 16) in seen, seen
+
+
+def test_batched_fit_with_warp_field():
+    """The learnable warp field must work under the batched SPMD path:
+    warp params stack on the images axis, the vmapped loss sees them, and
+    the pixel-sharded render consumes the full params dict."""
+    import jax.numpy as jnp
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import make_fit_consts
+    from npp_tpu.parallel.batch import (init_batched_state,
+                                        make_batched_fit_step,
+                                        make_sharded_render, stack_consts,
+                                        stack_embedders)
+    from npp_tpu.parallel.mesh import make_mesh, shard_leading_axis
+    from npp_tpu.nn.mlp import NPPNet
+    import __graft_entry__ as ge
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  warp_field=True, warp_max_px=4.0)
+    datas, embedders = [], []
+    for i in range(2):
+        d, e = ge._tiny_setup(cfg, patch_size=16)
+        datas.append(d)
+        embedders.append(e)
+    model = NPPNet(input_ch_periodic=embedders[0].top1_dim,
+                   input_ch_periodic_aux=embedders[0].out_dim -
+                   embedders[0].top1_dim,
+                   depth=cfg.netdepth, width=cfg.netwidth,
+                   activation=cfg.activation)
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+    state, tx = init_batched_state(cfg, COMPLETION_TASK, model, embedders,
+                                   jax.random.PRNGKey(0), None, None)
+    assert 'warp' in state.params  # stacked warp params
+    consts = stack_consts([
+        make_fit_consts(cfg, COMPLETION_TASK, d, 16) for d in datas])
+    step = make_batched_fit_step(cfg, COMPLETION_TASK, model, None, None,
+                                 None, tx, cfg.patch_num, 16, mesh=mesh)
+    new_state, metrics = step(shard_leading_axis(state, mesh),
+                              stack_embedders(embedders),
+                              shard_leading_axis(consts, mesh),
+                              jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['loss']))
+    # warp params received gradient updates
+    w0 = jax.tree.leaves(state.params['warp'])
+    w1 = jax.tree.leaves(new_state.params['warp'])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(w0, w1))
+
+    pmesh = make_mesh(('pixels',), (2,), devices=jax.devices()[:2])
+    render = make_sharded_render(cfg, model, pmesh, chunk=1 << 8)
+    p0 = jax.tree.map(lambda x: x[0], new_state.params)
+    img = render(p0, embedders[0], 48, 56)
+    assert img.shape == (48, 56, 3) and np.isfinite(np.asarray(img)).all()
