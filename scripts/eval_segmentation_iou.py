@@ -49,8 +49,13 @@ def synth_example(seed, h=256, w=320):
         ry, rx = rng.randint(24, 40), rng.randint(28, 46)
         blob = ((yy - cy) / ry) ** 2 + ((xx - cx_) / rx) ** 2 < 1
         gt_mask |= blob
-        color = np.asarray([0.15, 0.55, 0.2]) if b == 0 \
-            else np.asarray([0.7, 0.25, 0.15])
+        # luminance-contrasting blob colors: the refinement criteria run on
+        # GRAYSCALE maps (reference NPP_segmentation/train.py:340-344), so a
+        # grayscale-isoluminant anomaly is invisible to criterion 1 by
+        # design — measured and noted in BASELINE.md; the GT here stays in
+        # the regime the algorithm targets.
+        color = np.asarray([0.08, 0.1, 0.14]) if b == 0 \
+            else np.asarray([0.92, 0.88, 0.8])
         tex = color + rng.randn(h, w, 3) * 0.05 \
             + 0.1 * np.sin(0.0004 * ((yy - cy) ** 2 + (xx - cx_) ** 2))[..., None]
         img = np.where(blob[..., None], tex, img)
