@@ -32,9 +32,10 @@ def main():
     ap.add_argument('--no-global-canvas', action='store_true',
                     help='per-image canvas bucketing instead of one '
                          'suite-wide search canvas (more recompiles)')
-    ap.add_argument('--aux-gate-ratio', type=float, default=None,
+    ap.add_argument('--aux-gate-ratio', type=float, default=1.15,
                     help='drop aux proposals whose ranking distance exceeds '
-                         'ratio x top-1 (fit tasks only)')
+                         'ratio x top-1 (fit tasks only; round-2 measured '
+                         'default — pass 0 for reference fixed-top-K)')
     args = ap.parse_args()
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
