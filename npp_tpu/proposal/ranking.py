@@ -124,16 +124,22 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
 
     # ---- evaluation on the held-out pseudo region (search.py:150-205)
     val = np.asarray(i_val, np.int64)
-    hmin, hmax = int(val[:, 0].min()), int(val[:, 0].max())
-    wmin, wmax = int(val[:, 1].min()), int(val[:, 1].max())
-    # the deepest VGG taps need >= 32 px; additionally round the crop up to
-    # a bucket multiple so the eval executable is shared across images
-    # (expansion area is zero in both pred and gt canvases, identical for
-    # every candidate, so within-image ranking is unaffected)
-    bucket = max(int(getattr(cfg, 'crop_bucket', 0)), 32)
+    # exclusive slice ends: +1 so the bottom/right-most val row/column is
+    # inside the scored crop
+    hmin, hmax = int(val[:, 0].min()), int(val[:, 0].max()) + 1
+    wmin, wmax = int(val[:, 1].min()), int(val[:, 1].max()) + 1
+    # the deepest VGG taps need >= 32 px; with crop_bucket > 0 additionally
+    # round the crop up to a bucket multiple so the eval executable is
+    # shared across images (expansion area is zero in both pred and gt
+    # canvases, identical for every candidate, so within-image ranking is
+    # unaffected). crop_bucket=0 keeps the tight (>=32 px) bbox.
+    bucket = int(getattr(cfg, 'crop_bucket', 0))
 
     def _bucketed(lo, hi, limit):
-        size = min(-(-max(hi - lo, 32) // bucket) * bucket, limit)
+        size = max(hi - lo, 32)
+        if bucket:
+            size = -(-size // bucket) * bucket
+        size = min(size, limit)
         hi = min(limit, lo + size)
         lo = max(0, hi - size)
         return lo, hi

@@ -52,6 +52,18 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         repeat_range=cfg.search_range, edge_searching=cfg.edge_searching,
         gray_only=cfg.gray_only)
 
+    if not all_angles:
+        raise RuntimeError(f'no periodicity candidates found for {name}')
+    print(f'[search] {len(all_angles)} candidates detected')
+
+    # ---- pseudo-mask split (reference: loaders.py:34-54). Computed BEFORE
+    # the ranking-canvas pad: find_mask_centroid's separation threshold
+    # scales with min(H, W) (pseudo_mask.py:19), so the split must see the
+    # per-image canvas or small images on a large suite canvas would get
+    # fewer/degenerate held-out windows. Coordinates stay valid afterwards
+    # because the override pad only appends rows/columns.
+    _, i_train, i_val = build_pseudo_split(unknown_mask, valid_mask)
+
     # ---- pad further to the suite-wide ranking canvas
     override = tuple(getattr(cfg, 'canvas_override', ()) or ())
     if override and (override[0] < dh or override[1] < dw):
@@ -63,12 +75,6 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         masked_img = np.pad(masked_img, pad3)
         unknown_mask = np.pad(unknown_mask, pad3)
         valid_mask = np.pad(valid_mask, pad3)
-    if not all_angles:
-        raise RuntimeError(f'no periodicity candidates found for {name}')
-    print(f'[search] {len(all_angles)} candidates detected')
-
-    # ---- pseudo-mask split (reference: loaders.py:34-54)
-    _, i_train, i_val = build_pseudo_split(unknown_mask, valid_mask)
 
     # ---- ranking (reference: search.py:78-219)
     if percep is None:

@@ -1,6 +1,9 @@
 """Batched end-to-end: 3 bundled completion examples fit CONCURRENTLY in one
 bucket (shared canvas + patch size) on one chip; per-image PSNR + wall."""
-import dataclasses, time
+import dataclasses, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp, numpy as np
 from npp_tpu.config import CompletionConfig, replace
 from npp_tpu.models.completion import COMPLETION_TASK
@@ -16,7 +19,7 @@ names = ['20150911134319-c366317e', '20150911134723-104840a8',
 cfg = CompletionConfig()
 datas = []
 for n in names:
-    d = load_completion(replace(cfg, datadir=f'/tmp/npp_suite/completion/detected/{n}'))
+    d = load_completion(replace(cfg, datadir=f'/tmp/npp_suite_r3/completion/detected/{n}'))
     d = dataclasses.replace(d, patch_size=96)  # common bucket
     datas.append(d)
 

@@ -32,10 +32,12 @@ def main():
     ap.add_argument('--no-global-canvas', action='store_true',
                     help='per-image canvas bucketing instead of one '
                          'suite-wide search canvas (more recompiles)')
-    ap.add_argument('--aux-gate-ratio', type=float, default=1.15,
+    ap.add_argument('--aux-gate-ratio', type=float, default=None,
                     help='drop aux proposals whose ranking distance exceeds '
-                         'ratio x top-1 (fit tasks only; round-2 measured '
-                         'default — pass 0 for reference fixed-top-K)')
+                         'ratio x top-1. Default: 1.15 for completion (the '
+                         'round-2 measured winner), 0 (reference '
+                         'fixed-top-K) for segmentation/remapping; an '
+                         'explicit value applies to every task')
     args = ap.parse_args()
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
@@ -75,6 +77,10 @@ def main():
                 p = os.path.join(in_dir, n, 'gt_img.png')
                 if os.path.exists(p):
                     im = cv2.imread(p)
+                    if im is None:
+                        print(f'[suite] WARNING: unreadable {p}, skipped '
+                              'from canvas scan')
+                        continue
                     hh = max(hh, im.shape[0])
                     ww = max(ww, im.shape[1])
         if hh:
@@ -110,8 +116,9 @@ def main():
                 rec['top_periods'] = odgt['selected_periods'][:3]
 
             cfg = replace(task_cfg[task](), datadir=det_dir, basedir=res_root)
-            if args.aux_gate_ratio is not None:
-                cfg = replace(cfg, aux_gate_ratio=args.aux_gate_ratio)
+            gate = args.aux_gate_ratio if args.aux_gate_ratio is not None \
+                else (1.15 if task == 'completion' else 0.0)
+            cfg = replace(cfg, aux_gate_ratio=gate)
             if args.iters_scale != 1.0:
                 cfg = replace(cfg,
                               N_iters=max(2, int(cfg.N_iters * args.iters_scale)),

@@ -140,3 +140,43 @@ def test_detection_independent_of_ranking_canvas(tmp_path, monkeypatch):
     search_mod.run_search(cfg)
     # detection ran at the tight (canvas_multiple) canvas, not the override
     assert seen == [(128, 128, 3)]
+
+
+def test_pseudo_split_independent_of_ranking_canvas(tmp_path, monkeypatch):
+    """The pseudo train/val split must be computed on the per-image canvas:
+    find_mask_centroid's separation threshold scales with min(H, W), so a
+    suite-wide override canvas would degrade the held-out windows for
+    smaller images (round-2 review finding)."""
+    import cv2
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.proposal import search as search_mod
+
+    img = synth(80, 88)
+    mask = np.ones(img.shape[:2])
+    d = tmp_path / 'in' / 'ex1'
+    os.makedirs(d)
+    cv2.imwrite(str(d / 'gt_img.png'), np.uint8(img[..., ::-1] * 255))
+    cv2.imwrite(str(d / 'masked_img.png'), np.uint8(img[..., ::-1] * 255))
+    cv2.imwrite(str(d / 'unknown_mask.png'), np.uint8(mask * 255))
+    cv2.imwrite(str(d / 'valid_mask.png'), np.uint8(mask * 255))
+
+    captured = {}
+    real = search_mod.build_pseudo_split
+
+    def spy(unknown, valid):
+        captured['canvas'] = unknown.shape[:2]
+        out = real(unknown, valid)
+        captured['i_val'] = out[2].copy()
+        return out
+
+    monkeypatch.setattr(search_mod, 'build_pseudo_split', spy)
+    base = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=64,
+                   N_iters=4, datadir=str(d))
+    search_mod.run_search(replace(base, outdir=str(tmp_path / 'det_a'),
+                                  canvas_override=(256, 320)))
+    a_canvas, a_val = captured['canvas'], captured['i_val']
+    search_mod.run_search(replace(base, outdir=str(tmp_path / 'det_b')))
+    b_canvas, b_val = captured['canvas'], captured['i_val']
+
+    assert a_canvas == b_canvas == (128, 128)  # per-image, never the override
+    np.testing.assert_array_equal(a_val, b_val)
