@@ -34,7 +34,7 @@ def main():
                          'suite-wide search canvas (more recompiles)')
     ap.add_argument('--aux-gate-ratio', type=float, default=None,
                     help='drop aux proposals whose ranking distance exceeds '
-                         'ratio x top-1. Default: 1.15 for completion (the '
+                         'ratio x top-1. Default: 1.25 for completion (the '
                          'round-2 measured winner), 0 (reference '
                          'fixed-top-K) for segmentation/remapping; an '
                          'explicit value applies to every task')
@@ -117,7 +117,7 @@ def main():
 
             cfg = replace(task_cfg[task](), datadir=det_dir, basedir=res_root)
             gate = args.aux_gate_ratio if args.aux_gate_ratio is not None \
-                else (1.15 if task == 'completion' else 0.0)
+                else (1.25 if task == 'completion' else 0.0)
             cfg = replace(cfg, aux_gate_ratio=gate)
             if args.iters_scale != 1.0:
                 cfg = replace(cfg,
