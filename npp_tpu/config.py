@@ -90,6 +90,15 @@ class FitConfig(BaseConfig):
     warp_depth: int = 2
     warp_max_px: float = 12.0
 
+    # TPU-repo addition (default 'none' = reference compositing,
+    # NPP_completion/train.py:270-331). 'residual': seam-aware composite —
+    # the known-region render error (masked_img - pred) is diffused into
+    # the hole (Navier-Stokes inpainting of the residual field) and added
+    # to the prediction, so the composite meets the known content
+    # continuously at the hole boundary and low-frequency tint/phase offset
+    # inside the hole is removed. Exactly the property that makes TELEA
+    # PSNR-strong on featureless fills, grafted onto the lattice-aware INR.
+    comp_seam: str = "none"
     use_adaptive_perceptual_loss: bool = True
     no_pix_loss: bool = False
     no_reg_sampling: bool = False
@@ -144,6 +153,14 @@ class SearchConfig(BaseConfig):
     # canvases, identical for all candidates). 0 disables either.
     rank_pad_candidates: int = 9
     crop_bucket: int = 64
+    # TPU-repo addition: ranking proxy objective (no reference equivalent —
+    # the reference always scores 30*LPIPS+1*CX on the zero-canvas bbox
+    # crop, NPP_proposal/search.py:150-205). All proxies are combined
+    # host-side from one device program's score components
+    # (proposal/ranking.py::combine_scores):
+    #   'reference' | 'window' | 'mse' | 'heldout_mse'
+    rank_proxy: str = "reference"
+    rank_pix_weight: float = 1.0   # log10(MSE) weight in 'heldout_mse'
 
 
 @dataclass(frozen=True)
@@ -164,6 +181,13 @@ class SegmentationConfig(FitConfig):
     l1_thresh: float = 0.15
     lpips_thresh: float = 0.3
     lpips_layers: int = 1
+    # TPU-repo addition (default off = reference behaviour): compute the L1
+    # refinement criterion on per-channel RGB differences (max over
+    # channels) instead of grayscale. The reference's grayscale criterion
+    # (NPP_segmentation/train.py:340-344) is blind to isoluminant anomalies
+    # — a green blob with |gray delta| < l1_thresh is reclassified as
+    # periodic (measured round 2, BASELINE.md segmentation findings).
+    seg_color_criterion: bool = False
 
 
 @dataclass(frozen=True)

@@ -68,9 +68,15 @@ def _topk_periodicity(info: dict, p_topk: int, aux_gate_ratio: float = 0.0):
     noise channels to the NPP-Net aux branch (round-1 ablation: top-1-only
     beat top-3 by +1.1 dB on the example whose aux distances were 1.2x/1.4x
     top-1). The reference always consumes a fixed top-K
-    (loaders/loaders.py:110-128)."""
+    (loaders/loaders.py:110-128).
+
+    Gating uses the REFERENCE-proxy distances ('distances_gate', written by
+    the search stage since round 3) even when a different rank_proxy ordered
+    the candidates: the ratio gate is calibrated on the 30*LPIPS+1*CX scale,
+    and other proxies (log10 MSE) can be negative, where ratios are
+    meaningless. Falls back to 'distances' for round-1/2 odgt files."""
     k = p_topk
-    dist = info.get('distances')
+    dist = info.get('distances_gate') or info.get('distances')
     if aux_gate_ratio > 0 and dist:
         gate = aux_gate_ratio * float(dist[0])
         k = 1

@@ -81,9 +81,11 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         percep = LPIPS(net='vgg')
     if contextual is None:
         contextual = ContextualLoss(use_vgg=True)
-    from .ranking import rank_proposals
-    distances = rank_proposals(cfg, masked_img, i_train, i_val,
-                               all_angles, all_periods, percep, contextual)
+    from .ranking import combine_scores, rank_proposals
+    distances, rank_comps = rank_proposals(
+        cfg, masked_img, i_train, i_val, all_angles, all_periods, percep,
+        contextual, norm_res=(dh, dw), return_components=True)
+    scores = combine_scores(cfg, rank_comps)
 
     k = min(cfg.topk_detection, len(distances))
     order = np.argsort(distances, kind='stable')[:k]
@@ -104,6 +106,21 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         'search_range': list(cfg.search_range),
         'epoch': cfg.N_iters,
         'distances': [float(distances[i]) for i in order],
+        # aux rank-gating always uses the reference-proxy distances (their
+        # ratios are the calibrated gate scale; other proxies can be
+        # negative, see loaders._topk_periodicity)
+        'distances_gate': [float(scores['reference'][i]) for i in order],
+        'rank_proxy': getattr(cfg, 'rank_proxy', 'reference'),
+        # every candidate's lattice + every proxy's score, in detection
+        # order: enables offline proxy sweeps without re-running the search
+        'rank_candidates': {
+            'angles': [list(map(float, a)) for a in all_angles],
+            'periods': [list(map(float, p)) for p in all_periods],
+            'scores': {name: [float(x) for x in s]
+                       for name, s in scores.items()},
+            'components': {name: [float(x) for x in c]
+                           for name, c in rank_comps.items()},
+        },
     }
 
     # ---- lattice visualisations (reference: search.py:249-269)

@@ -108,6 +108,58 @@ def test_rank_padding_and_crop_bucket_invariance():
     assert list(np.argsort(d_plain)) == list(np.argsort(d_padded))
 
 
+def test_ranking_invariant_to_suite_canvas():
+    """With norm_res pinned to the tight per-image dims, the distances must
+    not change when the image is padded to a larger suite canvas (round-2
+    advisor finding: positional-coord normalisation leaked the override
+    canvas into every candidate's embedding)."""
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.losses.contextual import ContextualLoss
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.proposal.ranking import rank_proposals
+
+    img = synth()
+    h, w = img.shape[:2]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    val_mask = (yy > 24) & (yy < 40) & (xx > 28) & (xx < 44)
+    i_val = np.stack(np.nonzero(val_mask), 1)
+    i_train = np.stack(np.nonzero(~val_mask), 1)
+    angles = [[90.0, 180.0], [90.0, 180.0]]
+    periods = [[16.0, 12.0], [7.0, 5.0]]
+    percep, cx = LPIPS(net='vgg'), ContextualLoss(use_vgg=True)
+    cfg = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=128,
+                  N_iters=30)
+
+    d_tight = rank_proposals(cfg, img, i_train, i_val, angles, periods,
+                             percep, cx, norm_res=(h, w))
+    img_pad = np.pad(img, ((0, 128 - h), (0, 160 - w), (0, 0)))
+    d_padded = rank_proposals(cfg, img_pad, i_train, i_val, angles, periods,
+                              percep, cx, norm_res=(h, w))
+    np.testing.assert_allclose(d_tight, d_padded, rtol=2e-4, atol=2e-5)
+
+
+def test_combine_scores_proxies():
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.proposal.ranking import combine_scores
+
+    comps = {'lpips_bbox': np.array([0.1, 0.2]),
+             'cx_bbox': np.array([1.0, 0.5]),
+             'lpips_comp': np.array([0.05, 0.30]),
+             'cx_comp': np.array([0.5, 0.25]),
+             'val_mse': np.array([0.01, 0.001])}
+    cfg = replace(SearchConfig(), rank_pix_weight=0.5)
+    s = combine_scores(cfg, comps)
+    np.testing.assert_allclose(s['reference'], 30 * comps['lpips_bbox'] +
+                               1 * comps['cx_bbox'])
+    np.testing.assert_allclose(s['window'], 30 * comps['lpips_comp'] +
+                               1 * comps['cx_comp'])
+    np.testing.assert_allclose(s['mse'], [-2.0, -3.0])
+    np.testing.assert_allclose(s['heldout_mse'],
+                               s['reference'] + 0.5 * s['mse'])
+    # candidate 0 has worse held-out MSE: the mse proxy must flip the order
+    assert np.argsort(s['mse'])[0] == 1
+
+
 def test_detection_independent_of_ranking_canvas(tmp_path, monkeypatch):
     """canvas_override must affect ONLY the ranking canvas: the detection
     stage sees the tight per-image canvas either way (the reference derives
