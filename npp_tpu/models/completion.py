@@ -17,10 +17,38 @@ from .trainer import FitState
 COMPLETION_TASK = TaskSpec(name='completion')
 
 
-def evaluate(data, params, render, adaptive_pix, loss_type: str
-             ) -> Dict[str, np.ndarray]:
+def seam_residual_correction(pred: np.ndarray, masked: np.ndarray,
+                             known: np.ndarray, hole: np.ndarray
+                             ) -> np.ndarray:
+    """Diffuse the known-region render error into the hole and return the
+    corrected prediction (cfg.comp_seam='residual'; no reference
+    equivalent — the reference pastes the raw render into the hole,
+    NPP_completion/train.py:317-322).
+
+    err = masked - pred on the known region is Navier-Stokes-inpainted
+    across the hole, giving a smooth membrane that (a) matches the render
+    error at the hole boundary — the composite becomes C0-continuous with
+    the known content, TELEA's one PSNR advantage — and (b) removes
+    low-frequency tint/phase offset inside the hole while preserving the
+    INR's lattice texture."""
+    import cv2
+    err = np.where(known[..., None] > 0.5, masked - pred, 0.0)
+    err_u8 = np.uint8(np.clip(err * 127.5 + 127.5, 0, 255))
+    hole_u8 = np.uint8(hole * 255)
+    filled = cv2.inpaint(err_u8, hole_u8, 3, cv2.INPAINT_NS)
+    err_filled = (filled.astype(np.float64) - 127.5) / 127.5
+    return np.where(hole[..., None] > 0.5, pred + err_filled, pred)
+
+
+def evaluate(data, params, render, adaptive_pix, loss_type: str,
+             comp_seam: str = 'none') -> Dict[str, np.ndarray]:
     """Render and compose the reference's output set
-    (reference: NPP_completion/train.py:270-331), plus PSNR metrics."""
+    (reference: NPP_completion/train.py:270-331), plus PSNR metrics.
+
+    The seam-corrected composite (see seam_residual_correction) is always
+    computed alongside as 'pred_rgb_img_comp_seam' with its 'val_psnr_seam'
+    metric; comp_seam='residual' additionally makes it the primary
+    'pred_rgb_img_comp' output."""
     h, w = data.img.shape[:2]
     pred = render(params, h, w)                       # (H, W, 3)
     mask = jnp.asarray(data.mask, jnp.float32)
@@ -32,6 +60,16 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str
     val_img = pred * (1.0 - mask) * valid
     comp = val_img + masked * mask
 
+    # seam-aware residual-corrected prediction (host-side, one cv2 call)
+    pred_np = np.asarray(pred, np.float64)
+    known_np = np.asarray((data.mask * data.valid_mask)[..., 0])
+    hole_np = np.asarray(((1 - data.mask) * data.valid_mask)[..., 0])
+    pred_seam = seam_residual_correction(
+        pred_np, np.asarray(data.masked_img, np.float64), known_np, hole_np)
+    comp_seam_img = (pred_seam * (1.0 - np.asarray(data.mask)) *
+                     np.asarray(data.valid_mask) +
+                     np.asarray(data.masked_img) * np.asarray(data.mask))
+
     tc = data.i_train
     vc = data.i_val
     oh, ow = data.orig_shape
@@ -40,7 +78,10 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str
         'pred_rgb_val_img': np.asarray(val_img)[:oh, :ow],
         'pred_rgb_img': np.asarray(pred * valid)[:oh, :ow],
         'pred_rgb_img_comp': np.asarray(comp)[:oh, :ow],
+        'pred_rgb_img_comp_seam': comp_seam_img[:oh, :ow],
     }
+    if comp_seam == 'residual':
+        out['pred_rgb_img_comp'] = out['pred_rgb_img_comp_seam']
     if len(tc):
         pt = pred[tc[:, 0], tc[:, 1]]
         gt = masked[tc[:, 0], tc[:, 1]]
@@ -51,6 +92,10 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str
         gv = img[vc[:, 0], vc[:, 1]]
         out['img_val_loss'] = float(img2mse(pv, gv, loss_type, adaptive_pix))
         out['val_psnr'] = float(mse2psnr(jnp.mean((pv - gv) ** 2)))
+        pv_seam = pred_seam[vc[:, 0], vc[:, 1]]
+        gv_np = np.asarray(gv)
+        out['val_psnr_seam'] = float(mse2psnr(
+            jnp.asarray(np.mean((pv_seam - gv_np) ** 2))))
     return out
 
 
@@ -65,7 +110,8 @@ def run_completion(cfg, save: bool = True):
 
     def eval_hook(i: int, state: FitState, render):
         res = evaluate(data, state.params, render,
-                       state.params['adaptive_pix'], cfg.loss_type)
+                       state.params['adaptive_pix'], cfg.loss_type,
+                       comp_seam=getattr(cfg, 'comp_seam', 'none'))
         evals[i] = {k: v for k, v in res.items() if np.isscalar(v)}
         print(f"[completion] eval@{i}: "
               f"train_psnr={res.get('train_psnr', float('nan')):.2f} "
@@ -73,7 +119,8 @@ def run_completion(cfg, save: bool = True):
         if save:
             d = os.path.join(save_dir, f'testset_{i:06d}')
             for key in ('pred_rgb_train_img', 'pred_rgb_val_img',
-                        'pred_rgb_img', 'pred_rgb_img_comp'):
+                        'pred_rgb_img', 'pred_rgb_img_comp',
+                        'pred_rgb_img_comp_seam'):
                 write_rgb(os.path.join(d, f'{key}.png'), res[key])
             oh, ow = data.orig_shape
             write_rgb(os.path.join(d, 'gt_rgb_img.png'),
@@ -84,7 +131,8 @@ def run_completion(cfg, save: bool = True):
     result = fit_image(cfg, COMPLETION_TASK, data, eval_hook=eval_hook,
                        log_every=cfg.i_print)
     final = evaluate(data, result.state.params, result.render,
-                     result.state.params['adaptive_pix'], cfg.loss_type)
+                     result.state.params['adaptive_pix'], cfg.loss_type,
+                     comp_seam=getattr(cfg, 'comp_seam', 'none'))
 
     # final LPIPS of the composited output vs gt (the paper's second headline
     # metric; absolute values require converted pretrained towers)
@@ -96,4 +144,7 @@ def run_completion(cfg, save: bool = True):
     oh, ow = data.orig_shape
     gt = jnp.asarray((data.img * data.valid_mask)[:oh, :ow], jnp.float32)[None]
     final['val_lpips'] = float(jnp.mean(percep(comp, gt, normalize=True)))
+    comp_s = jnp.asarray(final['pred_rgb_img_comp_seam'], jnp.float32)[None]
+    final['val_lpips_seam'] = float(jnp.mean(percep(comp_s, gt,
+                                                    normalize=True)))
     return result, final, evals

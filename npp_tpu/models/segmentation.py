@@ -46,7 +46,14 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
     pred_gray = ((pred_img * valid) @ _GRAY)[..., None]     # (H, W, 1)
     blur_gray = ((blur_img * valid) @ _GRAY)[..., None]
 
-    l1_img = np.clip(np.abs(pred_gray - blur_gray).sum(-1), 0, 0.99)
+    if getattr(cfg, 'seg_color_criterion', False):
+        # color-aware variant (cfg-gated, default off): max per-channel
+        # |diff| catches isoluminant anomalies the reference's grayscale
+        # criterion (train.py:340-344) cannot see
+        l1_img = np.clip(
+            np.abs((pred_img - blur_img) * valid).max(-1), 0, 0.99)
+    else:
+        l1_img = np.clip(np.abs(pred_gray - blur_gray).sum(-1), 0, 0.99)
     l1_ok = l1_img < cfg.l1_thresh
 
     _, per_layer = lpips_alex(jnp.asarray(pred_gray[None], jnp.float32),

@@ -78,13 +78,18 @@ def apply_model(model, params, embedder, coords, warp=None):
     coords -> warp -> sin/cos -> first matmul; a hand-written Pallas fusion
     was removed after losing the hardware A/B — see config.py note).
 
-    `params` is either the full fit-params dict ({'mlp': ..., 'warp'?: ...})
-    or a bare MLP tree (legacy callers). With a warp module + params present,
-    coordinates pass through the learnable smooth deformation first
-    (nn/warp.py; models perspective drift of the lattice)."""
+    `params` is the full fit-params dict ({'mlp': ..., 'warp'?: ...}).
+    With a warp module, coordinates pass through the learnable smooth
+    deformation first (nn/warp.py; models perspective drift of the
+    lattice); a warp module without matching params is an error — silently
+    skipping it would render a different function than was trained
+    (round-2 advisor finding)."""
     mlp_params = params['mlp'] if isinstance(params, dict) and 'mlp' in params \
         else params
-    if warp is not None and isinstance(params, dict) and 'warp' in params:
+    if warp is not None:
+        if not (isinstance(params, dict) and 'warp' in params):
+            raise ValueError("warp module present but params carry no "
+                             "'warp' tree — pass the full fit-params dict")
         from ..nn.warp import warp_coords
         coords = warp_coords(warp, params['warp'], coords, embedder.res)
     return model.apply({'params': mlp_params}, embedder.embed(coords))

@@ -74,3 +74,30 @@ def test_determinism_same_seed():
     assert l1 == l2
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seam_residual_correction_removes_offset():
+    """A constant low-frequency tint error inside the hole must be removed
+    by the residual-corrected composite (cfg.comp_seam='residual'): the
+    known-region error diffuses across the hole, so hole MSE drops by an
+    order of magnitude while texture (here: the gt pattern) is preserved."""
+    import numpy as np
+    from npp_tpu.models.completion import seam_residual_correction
+
+    h, w = 64, 72
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+    img = np.stack([0.5 + 0.3 * np.sin(2 * np.pi * yy / 12.0),
+                    0.5 + 0.3 * np.cos(2 * np.pi * xx / 14.0),
+                    0.5 * np.ones((h, w))], -1)
+    hole = np.zeros((h, w))
+    hole[20:44, 24:52] = 1
+    known = 1 - hole
+    masked = img * known[..., None]
+    pred = np.clip(img - 0.12, 0, 1)      # constant tint offset everywhere
+
+    corrected = seam_residual_correction(pred, masked, known, hole)
+    mse_before = float(np.mean((pred - img)[hole > 0.5] ** 2))
+    mse_after = float(np.mean((corrected - img)[hole > 0.5] ** 2))
+    assert mse_after < mse_before / 10, (mse_before, mse_after)
+    # known region untouched
+    np.testing.assert_array_equal(corrected[known > 0.5], pred[known > 0.5])

@@ -119,3 +119,47 @@ def test_refinement_autocalibration():
     assert frac > 0.05, f'badly-fit block should be flagged, got {frac}'
     # and the well-fit outside region should mostly stay periodic
     assert res['non_period_mask'][:15].mean() < 0.2
+
+
+def test_color_criterion_catches_isoluminant_anomaly():
+    """cfg.seg_color_criterion=True must flag a grayscale-isoluminant color
+    anomaly that the reference's grayscale L1 criterion cannot see
+    (round-2 measured failure: planted green blob halved refined IoU);
+    with the option off, behaviour stays reference-identical."""
+    import numpy as np
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.segmentation import _GRAY, refine_segmentation
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.config import SegmentationConfig, replace
+
+    rng = np.random.RandomState(0)
+    h, w = 96, 96
+    blur = rng.rand(h, w, 3) * 0.05 + 0.5
+    pred = blur.copy()
+    # isoluminant color shift: +d on G, compensated on R/B so gray delta ~ 0
+    d = 0.25
+    shift = np.array([-d * _GRAY[1] / (_GRAY[0] + _GRAY[2]), d,
+                      -d * _GRAY[1] / (_GRAY[0] + _GRAY[2])])
+    pred[30:70, 30:70] += shift
+    gray_delta = np.abs((pred - blur) @ _GRAY)
+    assert gray_delta.max() < 0.02  # genuinely isoluminant
+
+    mask = np.ones((h, w, 1))
+    non_period = np.zeros((h, w, 1))
+    non_period[20:90, 20:90] = 1
+    data = TaskData(img=blur, masked_img=blur, mask=mask,
+                    valid_mask=np.ones((h, w, 1)),
+                    i_train=np.zeros((1, 2), int), i_val=np.zeros((1, 2), int),
+                    selected_shifts=[], selected_angles=[],
+                    selected_periods=[], patch_size=16,
+                    extra={'blur_img': blur, 'non_period_mask': non_period})
+    lp = LPIPS(net='alex')
+    res_gray = refine_segmentation(SegmentationConfig(), data, pred, lp)
+    res_color = refine_segmentation(
+        replace(SegmentationConfig(), seg_color_criterion=True),
+        data, pred, lp)
+    blob = res_color['l1_img'][35:65, 35:65]
+    assert (blob > SegmentationConfig().l1_thresh).mean() > 0.9
+    # grayscale criterion is blind to the blob
+    assert (res_gray['l1_img'][35:65, 35:65] >
+            SegmentationConfig().l1_thresh).mean() < 0.1
