@@ -70,42 +70,86 @@ def _pad_pools_to_common(consts_list):
             for i in range(len(consts_list))]
 
 
+def pad_proposals_topk(data: TaskData, k: int) -> TaskData:
+    """Pad a gated/short per-image proposal list back to the static top-K by
+    repeating top-1. This is how per-image aux rank-gating
+    (loaders._topk_periodicity) rides ONE compiled batched program: the
+    gated-out aux slots are fed the (correct) top-1 lattice instead of a
+    wrong one, keeping the NPPNet aux input width static across the batch.
+    """
+    n = len(data.selected_angles)
+    if n >= k:
+        return data
+    pad = k - n
+    return dataclasses.replace(
+        data,
+        selected_shifts=list(data.selected_shifts) +
+        [data.selected_shifts[0]] * pad,
+        selected_angles=list(data.selected_angles) +
+        [data.selected_angles[0]] * pad,
+        selected_periods=list(data.selected_periods) +
+        [data.selected_periods[0]] * pad)
+
+
 def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                n_iters: Optional[int] = None, mesh=None,
-               canvas_multiple: int = 64) -> List[FitState]:
+               canvas_multiple: int = 64,
+               per_image: Optional[Sequence[dict]] = None,
+               return_ctx: bool = False) -> List[FitState]:
     """Fit all images concurrently (one bucket per padded shape + patch
-    size). Returns the per-image FitStates in input order."""
+    size). Returns the per-image FitStates in input order.
+
+    Per-image configuration (round-3, VERDICT #2):
+    - aux rank-gating: each TaskData arrives with its own gated proposal
+      list (loaders apply cfg.aux_gate_ratio per image); short lists are
+      padded back to the static top-K by repeating top-1
+      (pad_proposals_topk), so images with different effective K share one
+      compiled program;
+    - per_image[i] optional overrides (currently: 'warp_field') become part
+      of the bucket key — images with different warp settings compile
+      separate (still batched) programs;
+    - per-image patch schedules ride the (patch_size) bucket key.
+
+    return_ctx: additionally return a per-image ctx dict (model, embedder,
+    bucket canvas, cfg) for rendering/eval of the batched results.
+    """
     n_iters = n_iters if n_iters is not None else cfg.N_iters - 1
     if mesh is None:
         mesh = make_mesh(('images',))
     n_dev = mesh.shape['images']
+    overrides = [dict(o) for o in per_image] if per_image is not None \
+        else [{} for _ in datas]
 
-    buckets: Dict[Tuple[int, int, int], List[int]] = {}
+    buckets: Dict[Tuple, List[int]] = {}
     for i, d in enumerate(datas):
         h = _round_up(d.img.shape[0], canvas_multiple)
         w = _round_up(d.img.shape[1], canvas_multiple)
-        buckets.setdefault((h, w, d.patch_size), []).append(i)
+        key = (h, w, d.patch_size, tuple(sorted(overrides[i].items())))
+        buckets.setdefault(key, []).append(i)
 
     results: List[Optional[FitState]] = [None] * len(datas)
-    for (h, w, patch_size), idxs in buckets.items():
-        group = [pad_to_canvas(datas[i], h, w) for i in idxs]
+    ctxs: List[Optional[dict]] = [None] * len(datas)
+    for (h, w, patch_size, okey), idxs in buckets.items():
+        bcfg = dataclasses.replace(cfg, **dict(okey)) if okey else cfg
+        group = [pad_proposals_topk(pad_to_canvas(datas[i], h, w),
+                                    bcfg.p_topk) for i in idxs]
         # round the batch up to a multiple of the mesh size by repeating
         b = _round_up(len(group), n_dev)
         padded_group = group + [group[-1]] * (b - len(group))
 
         embedders = [
-            make_task_embedder(cfg, np.asarray(d.selected_angles),
+            make_task_embedder(bcfg, np.asarray(d.selected_angles),
                                np.asarray(d.selected_periods), (h, w),
-                               jax.random.PRNGKey(cfg.seed))
+                               jax.random.PRNGKey(bcfg.seed))
             for d in padded_group]
-        comps = build_components(cfg, padded_group[0], task)
+        comps = build_components(bcfg, padded_group[0], task)
         model = comps.model
 
-        state, tx = init_batched_state(cfg, task, model, embedders,
-                                       jax.random.PRNGKey(cfg.seed),
+        state, tx = init_batched_state(bcfg, task, model, embedders,
+                                       jax.random.PRNGKey(bcfg.seed),
                                        comps.percep, comps.style)
         consts_list = _pad_pools_to_common([
-            make_fit_consts(cfg, task, d, patch_size) for d in padded_group])
+            make_fit_consts(bcfg, task, d, patch_size) for d in padded_group])
         consts = stack_consts(consts_list)
         emb_b = stack_embedders(embedders)
 
@@ -115,26 +159,26 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
         # patch-size decay schedule (same cadence as fit_image; stages
         # rebuild the batched step + constants at decay boundaries).
         # lax.scan blocks amortise dispatch latency (~1s/call via the relay).
-        ps, pn = patch_size, cfg.patch_num
+        ps, pn = patch_size, bcfg.patch_num
         block = 100
 
         def build(ps_, pn_):
-            blk = make_batched_fit_block(cfg, task, model, comps.percep,
+            blk = make_batched_fit_block(bcfg, task, model, comps.percep,
                                          comps.contextual, comps.style, tx,
                                          pn_, ps_, block, mesh=mesh)
-            single = make_batched_fit_step(cfg, task, model, comps.percep,
+            single = make_batched_fit_step(bcfg, task, model, comps.percep,
                                            comps.contextual, comps.style, tx,
                                            pn_, ps_, mesh=mesh)
             return blk, single
 
         step_blk, step_one = build(ps, pn)
-        rng = jax.random.PRNGKey(cfg.seed + 7)
+        rng = jax.random.PRNGKey(bcfg.seed + 7)
         i = 1
         while i <= n_iters:
             # next boundary STRICTLY after i (the decay for boundary == i was
             # already applied at the end of the previous pass)
-            next_decay = (i // cfg.patch_size_decay + 1) * \
-                cfg.patch_size_decay
+            next_decay = (i // bcfg.patch_size_decay + 1) * \
+                bcfg.patch_size_decay
             seg_end = min(n_iters, next_decay - 1)
             remaining = seg_end - i + 1
             while remaining >= block:
@@ -149,10 +193,14 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                 ps //= 2
                 pn *= 2
                 consts = shard_leading_axis(stack_consts(_pad_pools_to_common(
-                    [make_fit_consts(cfg, task, d, ps)
+                    [make_fit_consts(bcfg, task, d, ps)
                      for d in padded_group])), mesh)
                 step_blk, step_one = build(ps, pn)
         jax.block_until_ready(state.params)
         for j, i in enumerate(idxs):
-            results[i] = jax.tree.map(lambda x: x[j], state)
+            results[i] = jax.tree.map(lambda x, jj=j: x[jj], state)
+            ctxs[i] = {'model': model, 'embedder': embedders[j],
+                       'canvas': (h, w), 'cfg': bcfg}
+    if return_ctx:
+        return results, ctxs
     return results

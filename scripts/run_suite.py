@@ -38,6 +38,20 @@ def main():
                          'round-2 measured winner), 0 (reference '
                          'fixed-top-K) for segmentation/remapping; an '
                          'explicit value applies to every task')
+    ap.add_argument('--batched', action='store_true',
+                    help='completion: fit all images CONCURRENTLY via the '
+                         'images-axis SPMD runner (parallel.runner.'
+                         'fit_images) instead of sequentially — per-image '
+                         'aux gating rides the batch via top-1 proposal '
+                         'padding')
+    ap.add_argument('--comp-seam', default='none',
+                    choices=['none', 'residual'],
+                    help="completion compositing: 'residual' = seam-aware "
+                         'residual-corrected composite (cfg.comp_seam)')
+    ap.add_argument('--rank-proxy', default=None,
+                    choices=['reference', 'window', 'mse', 'heldout_mse'],
+                    help='ranking proxy objective for the searches '
+                         '(default: SearchConfig.rank_proxy)')
     args = ap.parse_args()
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
@@ -97,6 +111,8 @@ def main():
             n for n in os.listdir(in_dir)
             if os.path.exists(os.path.join(in_dir, n, 'gt_img.png')))
         summary['tasks'][task] = {}
+        batched = args.batched and task == 'completion'
+        pending = []
 
         for name in examples:
             rec = {}
@@ -107,6 +123,8 @@ def main():
                                datadir=os.path.join(in_dir, name),
                                outdir=det_root,
                                canvas_override=global_canvas)
+                if args.rank_proxy:
+                    scfg = replace(scfg, rank_proxy=args.rank_proxy)
                 t0 = time.time()
                 with timer.phase(f'search/{task}'):
                     from npp_tpu.proposal.search import run_search
@@ -119,10 +137,16 @@ def main():
             gate = args.aux_gate_ratio if args.aux_gate_ratio is not None \
                 else (1.25 if task == 'completion' else 0.0)
             cfg = replace(cfg, aux_gate_ratio=gate)
+            if task == 'completion':
+                cfg = replace(cfg, comp_seam=args.comp_seam)
             if args.iters_scale != 1.0:
                 cfg = replace(cfg,
                               N_iters=max(2, int(cfg.N_iters * args.iters_scale)),
                               i_testset=max(1, int(cfg.i_testset * args.iters_scale)))
+            if batched:
+                from npp_tpu.models.loaders import load_completion
+                pending.append((name, rec, cfg, load_completion(cfg)))
+                continue
             t0 = time.time()
             with timer.phase(f'fit/{task}'):
                 if task == 'completion':
@@ -145,6 +169,46 @@ def main():
             rec['iters_per_sec'] = round(result.iters_per_sec, 2)
             summary['tasks'][task][name] = rec
             print(f'[suite] {task}/{name}: {rec}')
+
+        if batched and pending:
+            import jax
+            import jax.numpy as jnp
+            from npp_tpu.models.completion import COMPLETION_TASK, evaluate
+            from npp_tpu.models.trainer import make_render
+            from npp_tpu.parallel.runner import fit_images, pad_to_canvas
+            cfg0 = pending[0][2]
+            datas = [p[3] for p in pending]
+            t0 = time.time()
+            with timer.phase('fit_batched/completion'):
+                states, ctxs = fit_images(cfg0, COMPLETION_TASK, datas,
+                                          n_iters=cfg0.N_iters - 1,
+                                          return_ctx=True)
+            wall = time.time() - t0
+            n_img = len(pending)
+            agg = n_img * (cfg0.N_iters - 1) / max(wall, 1e-9)
+            print(f'[suite] batched completion: {n_img} images in '
+                  f'{wall:.1f}s ({agg:.1f} aggregate image-iters/s)')
+            for (name, rec, cfg_i, data), st, ctx in zip(pending, states,
+                                                         ctxs):
+                data_b = pad_to_canvas(data, *ctx['canvas'])
+                render = make_render(ctx['cfg'], ctx['model'],
+                                     ctx['embedder'])
+                final = evaluate(data_b, st.params, render,
+                                 st.params['adaptive_pix'], cfg_i.loss_type,
+                                 comp_seam=args.comp_seam)
+                comp = jnp.asarray(final['pred_rgb_img_comp'],
+                                   jnp.float32)[None]
+                oh, ow = data_b.orig_shape
+                gt = jnp.asarray((data_b.img * data_b.valid_mask)[:oh, :ow],
+                                 jnp.float32)[None]
+                final['val_lpips'] = float(jnp.mean(
+                    percep(comp, gt, normalize=True)))
+                rec.update({k: round(float(v), 3)
+                            for k, v in final.items() if np.isscalar(v)})
+                rec['fit_s_batched_total'] = round(wall, 1)
+                rec['aggregate_image_iters_per_sec'] = round(agg, 2)
+                summary['tasks'][task][name] = rec
+                print(f'[suite] {task}/{name} (batched): {rec}')
 
     summary['phases'] = {k: round(v, 1) for k, v in timer.phases.items()}
     os.makedirs(args.out, exist_ok=True)
