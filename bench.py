@@ -66,6 +66,64 @@ def _synthetic_data(cfg):
                     selected_periods=periods, patch_size=PATCH_SIZE)
 
 
+# ---- analytic FLOPs / MFU accounting (VERDICT round-2 next #4) ----------
+# bf16 peak matmul throughput per chip, by jax device_kind substring
+_PEAK_BF16 = [('v5 lite', 197e12), ('v5e', 197e12), ('v5p', 459e12),
+              ('v6 lite', 918e12), ('v6e', 918e12), ('v4', 275e12)]
+
+# (cin, cout, cumulative downsample) for each 3x3 conv; taps at relu3_4
+# (CX, VGG19) / conv5_3 (LPIPS, VGG16) — mirror nn/features.py tower defs
+_VGG19_CX_CONVS = [(3, 64, 1), (64, 64, 1), (64, 128, 2), (128, 128, 2),
+                   (128, 256, 4), (256, 256, 4), (256, 256, 4), (256, 256, 4)]
+_VGG16_LPIPS_CONVS = _VGG19_CX_CONVS[:7] + [
+    (256, 512, 8), (512, 512, 8), (512, 512, 8),
+    (512, 512, 16), (512, 512, 16), (512, 512, 16)]
+
+
+def _conv_flops(convs, s: int) -> float:
+    return float(sum(2 * (s // d) ** 2 * 9 * cin * cout
+                     for cin, cout, d in convs))
+
+
+def _dense_flops(params_mlp, n_rows: int) -> float:
+    """2*N*in*out per Dense kernel, from the ACTUAL parameter shapes."""
+    import jax
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params_mlp)[0]:
+        if getattr(leaf, 'ndim', 0) == 2 and 'kernel' in str(path[-1]):
+            total += 2 * n_rows * leaf.shape[0] * leaf.shape[1]
+    return float(total)
+
+
+def analytic_flops_per_step(cfg, mlp_params) -> dict:
+    """Matmul/conv FLOPs of one flagship fit step (fwd+bwd = 3x fwd for
+    grad-carrying paths; elementwise embedding/activation traffic is
+    excluded — it is HBM-bound, not MXU-bound).
+
+    Terms: (a) MLP fwd+bwd on N_rand + patch pixels; (b) CX VGG19->relu3_4
+    on pred (fwd+bwd) + real (fwd) patch stacks; (c) LPIPS VGG16 towers,
+    weighted by the 'same'-batch probability 0.2 (models/sampler.py:193 —
+    the perceptual branch runs under lax.cond only on those steps)."""
+    n_rows = cfg.N_rand + PATCH_NUM * PATCH_SIZE ** 2
+    pk = PATCH_NUM * cfg.num_real_patch_per_sample
+    mlp = 3.0 * _dense_flops(mlp_params, n_rows)
+    cx = (3.0 + 1.0) * pk * _conv_flops(_VGG19_CX_CONVS, PATCH_SIZE)
+    p = (PATCH_SIZE // 4) ** 2            # relu3_4 positions
+    cx += 4.0 * 2 * pk * 256 * p * p      # CX similarity matmuls
+    lpips = 0.2 * (3.0 + 1.0) * pk * _conv_flops(_VGG16_LPIPS_CONVS,
+                                                 PATCH_SIZE)
+    return {'mlp': mlp, 'contextual': cx, 'perceptual': lpips,
+            'total': mlp + cx + lpips}
+
+
+def peak_bf16_flops(device_kind: str) -> float:
+    kind = device_kind.lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return 197e12   # default: v5e
+
+
 def bench_tpu() -> dict:
     import jax
     import npp_tpu
@@ -83,8 +141,13 @@ def bench_tpu() -> dict:
                                comps.embedder, jax.random.PRNGKey(0),
                                comps.percep, comps.style)
     consts = make_fit_consts(cfg, COMPLETION_TASK, data, PATCH_SIZE)
-    diag = {'backend': jax.devices()[0].platform,
+    dev = jax.devices()[0]
+    diag = {'backend': dev.platform, 'device_kind': dev.device_kind,
             'block': BLOCK, 'iters_blocked': BLOCK * N_BLOCKS}
+    flops = analytic_flops_per_step(cfg, state.params['mlp'])
+    diag['flops_per_step'] = {k: round(v / 1e9, 2) for k, v in flops.items()}
+    diag['flops_per_step']['unit'] = 'GFLOP'
+    diag['peak_bf16_tflops'] = peak_bf16_flops(dev.device_kind) / 1e12
 
     # --- primary: production block-scan path (run_suite.py's fit path) ---
     run_block = make_fit_block(cfg, COMPLETION_TASK, comps.model,
@@ -237,6 +300,11 @@ def bench_torch_cpu() -> float:
 def main():
     diag = bench_tpu()
     tpu_ips = diag['blocked_iters_per_sec']
+    flops_step = diag['flops_per_step']['total'] * 1e9
+    achieved = tpu_ips * flops_step
+    mfu = achieved / (diag['peak_bf16_tflops'] * 1e12)
+    diag['achieved_tflops'] = round(achieved / 1e12, 2)
+    diag['mfu'] = round(mfu, 4)
     try:
         cpu_ips = bench_torch_cpu()
         vs = tpu_ips / cpu_ips
@@ -249,6 +317,8 @@ def main():
         'value': round(tpu_ips, 3),
         'unit': 'iter/s',
         'vs_baseline': round(vs, 2) if vs else None,
+        'achieved_tflops': round(achieved / 1e12, 2),
+        'mfu': round(mfu, 4),
     }))
 
 
