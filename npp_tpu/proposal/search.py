@@ -116,6 +116,8 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         'rank_candidates': {
             'angles': [list(map(float, a)) for a in all_angles],
             'periods': [list(map(float, p)) for p in all_periods],
+            'shifts': [[list(map(float, all_shifts[i][j])) for j in range(2)]
+                       for i in range(len(all_shifts))],
             'scores': {name: [float(x) for x in s]
                        for name, s in scores.items()},
             'components': {name: [float(x) for x in c]
