@@ -47,6 +47,12 @@ class BaseConfig:
     canvas_override: Tuple[int, int] = ()  # pad ALL images to this exact
                                         # canvas (suite-wide executable
                                         # reuse; () = use canvas_multiple)
+    compile_ahead: bool = True          # overlap the NEXT patch-decay
+                                        # stage's 2-7 min relay compile with
+                                        # the current stage's fit (a daemon
+                                        # thread warms the jitted block; the
+                                        # persistent compile cache cannot be
+                                        # used through the relay)
     # NOTE: a Pallas fused embed+matmul path existed through round 2 and was
     # REMOVED after hardware A/B: XLA's producer fusion of the on-the-fly
     # embedding is already optimal at these sizes (fwd+bwd 6.0 ms vs 16.5 ms

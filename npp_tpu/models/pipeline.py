@@ -142,19 +142,62 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
     block = math.gcd(cfg.i_testset, log_every or cfg.i_testset)
     use_blocks = block >= 8
 
+    stage_cache: Dict = {}
+
     def build_step(ps, pn, blk):
+        """One jitted program per (patch_size, patch_num, block) stage,
+        cached so the prewarm thread and the main loop share the SAME jit
+        callable (a rebuilt wrapper would re-trace and recompile)."""
+        key = (ps, pn, blk)
+        if key in stage_cache:
+            return stage_cache[key]
         consts = make_fit_consts(cfg, task, data, ps)
         if blk:
             from .trainer import make_fit_block
-            return make_fit_block(cfg, task, comps.model, comps.embedder,
-                                  consts, comps.percep, comps.contextual,
-                                  comps.style, tx, pn, ps, blk)
-        return make_fit_step(cfg, task, comps.model, comps.embedder, consts,
-                             comps.percep, comps.contextual, comps.style, tx,
-                             pn, ps)
+            fn = make_fit_block(cfg, task, comps.model, comps.embedder,
+                                consts, comps.percep, comps.contextual,
+                                comps.style, tx, pn, ps, blk)
+        else:
+            fn = make_fit_step(cfg, task, comps.model, comps.embedder,
+                               consts, comps.percep, comps.contextual,
+                               comps.style, tx, pn, ps)
+        stage_cache[key] = fn
+        return fn
 
     step_fn = build_step(patch_size, patch_num, block if use_blocks else 0)
     single_step_fn = None
+
+    # ---- compile-ahead (VERDICT round-2 next #6): the NEXT patch-decay
+    # stage's program compiles 2-7 min through the remote-compile relay and
+    # the persistent cache is unusable there (CLAUDE.md), so overlap that
+    # compile with the CURRENT stage's optimisation instead: a daemon
+    # thread calls the next stage's jitted block once with the live state
+    # (pure function; the throwaway 1-block execution costs seconds) while
+    # the main stream keeps fitting. If the boundary arrives first, the
+    # main thread simply blocks on the same jit-internal compile lock it
+    # would have hit anyway.
+    prewarmed = set()
+
+    def prewarm_next_stage(i0: int, state_now):
+        if not (use_blocks and getattr(cfg, 'compile_ahead', True)):
+            return
+        due_at = (n_decays + 1) * cfg.patch_size_decay
+        nxt_ps, nxt_pn = patch_size // 2, patch_num * 2
+        if not (patch_size > 31 and due_at < cfg.N_iters - 10 and
+                i0 >= due_at - cfg.patch_size_decay and
+                (nxt_ps, nxt_pn) not in prewarmed):
+            return
+        prewarmed.add((nxt_ps, nxt_pn))
+        fn = build_step(nxt_ps, nxt_pn, block)
+        import threading
+
+        def warm():
+            try:
+                fn(state_now, jax.random.PRNGKey(0))
+            except Exception as e:   # never take down the fit
+                print(f'[fit] compile-ahead failed: {e!r}')
+
+        threading.Thread(target=warm, daemon=True).start()
 
     history: List[Dict[str, float]] = []
     t0 = time.time()
@@ -194,6 +237,7 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
         if use_blocks and remaining >= block and (i - 1) % block == 0:
             rng, k = jax.random.split(rng)
             state, metrics = step_fn(state, k)
+            prewarm_next_stage(i, state)
             i += block
             post_step(i - 1, state, metrics)
         else:
