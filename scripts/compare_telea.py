@@ -88,6 +88,17 @@ def main():
                 gt[y0:y1, x0:x1]), 4)
             row['beats_telea_lpips'] = row['lpips_ours'] < row['lpips_telea']
             row['pred'] = pats[-1]
+            # seam-aware residual-corrected composite, when saved
+            seam_path = pats[-1].replace('pred_rgb_img_comp.png',
+                                         'pred_rgb_img_comp_seam.png')
+            if os.path.exists(seam_path):
+                seam = cv2.imread(seam_path)[..., ::-1] / 255.0
+                if seam.shape != gt.shape:
+                    seam = seam[:gt.shape[0], :gt.shape[1]]
+                row['psnr_ours_seam'] = round(psnr(seam, gt, hole), 2)
+                row['lpips_ours_seam'] = round(lpips_val(
+                    (seam * hole + gt * (1 - hole))[y0:y1, x0:x1],
+                    gt[y0:y1, x0:x1]), 4)
         rows.append(row)
         print(json.dumps(row))
 
@@ -99,7 +110,13 @@ def main():
                                      for r in done),
             'total': len(done),
             'mean_margin_db': round(float(np.mean(
-                [r['psnr_ours'] - r['psnr_telea'] for r in done])), 2)}}))
+                [r['psnr_ours'] - r['psnr_telea'] for r in done])), 2),
+            'beats_telea_seam': sum(
+                r.get('psnr_ours_seam', -1e9) > r['psnr_telea']
+                for r in done),
+            'mean_margin_db_seam': round(float(np.mean(
+                [r.get('psnr_ours_seam', r['psnr_ours']) - r['psnr_telea']
+                 for r in done])), 2)}}))
 
 
 if __name__ == '__main__':
