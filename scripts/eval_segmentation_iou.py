@@ -62,6 +62,25 @@ def synth_example(seed, h=256, w=320):
     return np.clip(img, 0, 1), gt_mask
 
 
+def synth_isoluminant(seed, h=256, w=320):
+    """Synthetic whose planted blob is grayscale-ISOLUMINANT: a green shift
+    compensated on R/B so |gray delta| stays under l1_thresh — invisible to
+    the reference's grayscale criterion (measured round 2: halved refined
+    IoU), the case cfg.seg_color_criterion exists for."""
+    rng = np.random.RandomState(seed)
+    img, gt_mask = synth_example(seed=200 + seed, h=h, w=w)
+    img = img.copy()
+    gray_w = np.asarray([0.299, 0.587, 0.114])
+    d = 0.3
+    shift = np.asarray([-d * gray_w[1] / (gray_w[0] + gray_w[2]), d,
+                        -d * gray_w[1] / (gray_w[0] + gray_w[2])])
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    cy, cx_, ry, rx = h // 2, w // 3, 34, 40
+    blob = ((yy - cy) / ry) ** 2 + ((xx - cx_) / rx) ** 2 < 1
+    img = np.clip(np.where(blob[..., None], img + shift, img), 0, 1)
+    return img, (gt_mask | blob)
+
+
 def iou(a, b):
     a = a.astype(bool)
     b = b.astype(bool)
@@ -69,7 +88,8 @@ def iou(a, b):
     return float((a & b).sum() / u) if u else 1.0
 
 
-def run_example(name, in_dir, out_root, iters_scale, search_iters=None):
+def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
+                color_criterion=False):
     import cv2
     from npp_tpu.config import (SearchConfig, SegmentationConfig, replace)
     from npp_tpu.proposal.search import run_search
@@ -83,7 +103,8 @@ def run_example(name, in_dir, out_root, iters_scale, search_iters=None):
             scfg = replace(scfg, N_iters=search_iters)
         run_search(scfg)
     cfg = replace(SegmentationConfig(), datadir=det_dir,
-                  basedir=os.path.join(out_root, 'results'))
+                  basedir=os.path.join(out_root, 'results'),
+                  seg_color_criterion=color_criterion)
     if iters_scale != 1.0:
         cfg = replace(cfg, N_iters=max(2, int(cfg.N_iters * iters_scale)),
                       i_testset=max(1, int(cfg.i_testset * iters_scale)))
@@ -100,6 +121,13 @@ def main():
     ap.add_argument('--skip-bundled', action='store_true')
     ap.add_argument('--search-iters', type=int, default=None,
                     help='override ranking fit iters (CPU smoke)')
+    ap.add_argument('--color-criterion', action='store_true',
+                    help='cfg.seg_color_criterion=True: per-channel L1 '
+                         'refinement criterion (round-3 gated option)')
+    ap.add_argument('--isoluminant', action='store_true',
+                    help='add a synthetic whose blob is grayscale-'
+                         'isoluminant (the measured round-2 failure mode '
+                         'of the reference grayscale criterion)')
     args = ap.parse_args()
 
     import cv2
@@ -109,11 +137,15 @@ def main():
     records = []
 
     # ---- synthetic GT examples
-    for s in range(args.n_synth):
-        name = f'synth{s}'
+    synth_ids = list(range(args.n_synth)) + ([99] if args.isoluminant else [])
+    for s in synth_ids:
+        name = f'synth{s}' if s != 99 else 'synth_isolum'
         in_dir = os.path.join(args.out, 'input', name)
         os.makedirs(in_dir, exist_ok=True)
-        img, gt_mask = synth_example(seed=100 + s)
+        if s == 99:
+            img, gt_mask = synth_isoluminant(seed=7)
+        else:
+            img, gt_mask = synth_example(seed=100 + s)
         cv2.imwrite(os.path.join(in_dir, 'gt_img.png'),
                     np.uint8(img[..., ::-1] * 255))
         cv2.imwrite(os.path.join(in_dir, 'masked_img.png'),
@@ -125,7 +157,8 @@ def main():
         np.save(os.path.join(in_dir, 'gt_nonperiodic.npy'), gt_mask)
 
         cfg, last = run_example(name, in_dir, args.out, args.iters_scale,
-                                search_iters=args.search_iters)
+                                search_iters=args.search_iters,
+                                color_criterion=args.color_criterion)
         data = load_segmentation(replace(
             cfg, datadir=os.path.join(args.out, 'detected', name)))
         oh, ow = data.orig_shape
