@@ -25,12 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def reselect(info: dict, proxy: str, topk: int) -> dict:
+def reselect(info: dict, proxy: str, topk: int, order=None) -> dict:
     rc = info['rank_candidates']
     scores = {k: np.asarray(v) for k, v in rc['scores'].items()}
-    if proxy not in scores:
-        raise SystemExit(f'proxy {proxy!r} not in {sorted(scores)}')
-    order = np.argsort(scores[proxy], kind='stable')[:topk]
+    if order is not None:
+        order = np.asarray(order)[:topk]
+        proxy = proxy or 'reference'
+    else:
+        if proxy not in scores:
+            raise SystemExit(f'proxy {proxy!r} not in {sorted(scores)}')
+        order = np.argsort(scores[proxy], kind='stable')[:topk]
     info = dict(info)
     info['selected_angles'] = [rc['angles'][i] for i in order]
     info['selected_periods'] = [rc['periods'][i] for i in order]
@@ -47,6 +51,10 @@ def main():
     ap.add_argument('--proxy', default=None)
     ap.add_argument('--out', default=None)
     ap.add_argument('--topk', type=int, default=10)
+    ap.add_argument('--order', default=None,
+                    help='explicit comma-separated candidate indices '
+                         '(detection order) overriding any proxy, e.g. '
+                         '"1,0,2" to swap top-1/top-2')
     args = ap.parse_args()
 
     path = os.path.join(args.detected_dir, 'config.odgt')
@@ -63,9 +71,10 @@ def main():
         tops = [f'{rc["periods"][i]}@{s[i]:.4g}' for i in order[:3]]
         print(f'  {name:12s}: ' + '  '.join(tops))
 
-    if args.proxy is None:
+    if args.proxy is None and args.order is None:
         return
-    info = reselect(info, args.proxy, args.topk)
+    order = [int(x) for x in args.order.split(',')] if args.order else None
+    info = reselect(info, args.proxy, args.topk, order=order)
     out_dir = args.out or args.detected_dir
     if out_dir != args.detected_dir:
         shutil.copytree(args.detected_dir, out_dir, dirs_exist_ok=True)
