@@ -162,14 +162,51 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
         ps, pn = patch_size, bcfg.patch_num
         block = 100
 
+        stage_fns: Dict = {}
+
         def build(ps_, pn_):
+            # cached per stage so the compile-ahead thread and the decay
+            # path share ONE jit callable (a rebuilt wrapper would
+            # re-trace and recompile)
+            if (ps_, pn_) in stage_fns:
+                return stage_fns[(ps_, pn_)]
             blk = make_batched_fit_block(bcfg, task, model, comps.percep,
                                          comps.contextual, comps.style, tx,
                                          pn_, ps_, block, mesh=mesh)
             single = make_batched_fit_step(bcfg, task, model, comps.percep,
                                            comps.contextual, comps.style, tx,
                                            pn_, ps_, mesh=mesh)
+            stage_fns[(ps_, pn_)] = (blk, single)
             return blk, single
+
+        def stage_consts(ps_):
+            return shard_leading_axis(stack_consts(_pad_pools_to_common(
+                [make_fit_consts(bcfg, task, d, ps_)
+                 for d in padded_group])), mesh)
+
+        prewarmed = set()
+
+        def prewarm_next(ps_, pn_, state_now):
+            """Compile the NEXT decay stage's batched block in the
+            background while the current stage fits (see
+            models/pipeline.py compile-ahead note)."""
+            due_at = bcfg.patch_size_decay
+            if not (getattr(bcfg, 'compile_ahead', True) and ps_ > 31 and
+                    n_iters - due_at > 10 and
+                    (ps_ // 2, pn_ * 2) not in prewarmed):
+                return
+            prewarmed.add((ps_ // 2, pn_ * 2))
+            import threading
+
+            def warm():
+                try:
+                    blk2, _ = build(ps_ // 2, pn_ * 2)
+                    blk2(state_now, emb_b, stage_consts(ps_ // 2),
+                         jax.random.PRNGKey(0))
+                except Exception as e:
+                    print(f'[fit_images] compile-ahead failed: {e!r}')
+
+            threading.Thread(target=warm, daemon=True).start()
 
         step_blk, step_one = build(ps, pn)
         rng = jax.random.PRNGKey(bcfg.seed + 7)
@@ -184,6 +221,7 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             while remaining >= block:
                 rng, k = jax.random.split(rng)
                 state, _ = step_blk(state, emb_b, consts, k)
+                prewarm_next(ps, pn, state)
                 remaining -= block
             for _ in range(remaining):
                 rng, k = jax.random.split(rng)
@@ -192,9 +230,7 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             if i <= n_iters and ps > 31 and n_iters - i > 10:
                 ps //= 2
                 pn *= 2
-                consts = shard_leading_axis(stack_consts(_pad_pools_to_common(
-                    [make_fit_consts(bcfg, task, d, ps)
-                     for d in padded_group])), mesh)
+                consts = stage_consts(ps)
                 step_blk, step_one = build(ps, pn)
         jax.block_until_ready(state.params)
         for j, i in enumerate(idxs):
