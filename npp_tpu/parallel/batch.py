@@ -30,11 +30,15 @@ from ..nn.embedder import TaskEmbedder
 
 def stack_embedders(embedders: Sequence[TaskEmbedder]) -> TaskEmbedder:
     """Stack per-image proposal geometry on a leading batch axis. Static
-    fields must agree across the batch."""
+    fields must agree across the batch; `res` (the coordinate-
+    normalisation dims — each image's TIGHT loader canvas, NOT the shared
+    bucket canvas, so a small image's embedding never depends on the
+    bucket's largest image) becomes a dynamic (B, 2) array."""
     e0 = embedders[0]
     return e0._replace(
         angles=jnp.stack([e.angles for e in embedders]),
-        periods=jnp.stack([e.periods for e in embedders]))
+        periods=jnp.stack([e.periods for e in embedders]),
+        res=jnp.stack([jnp.asarray(e.res, jnp.float32) for e in embedders]))
 
 
 def stack_consts(consts: Sequence[FitConsts]) -> FitConsts:
@@ -43,8 +47,9 @@ def stack_consts(consts: Sequence[FitConsts]) -> FitConsts:
 
 
 def _embedder_batch_axes() -> TaskEmbedder:
-    """vmap in_axes spec: batch over angles/periods, broadcast the rest."""
-    return TaskEmbedder(freq_bands=None, angles=0, periods=0, res=None,
+    """vmap in_axes spec: batch over angles/periods/res, broadcast the
+    rest."""
+    return TaskEmbedder(freq_bands=None, angles=0, periods=0, res=0,
                         freq_scales=None, freq_offsets=None, angle_offsets=None,
                         out_dim=None, top1_dim=None)
 

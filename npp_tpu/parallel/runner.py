@@ -133,15 +133,22 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
         bcfg = dataclasses.replace(cfg, **dict(okey)) if okey else cfg
         group = [pad_proposals_topk(pad_to_canvas(datas[i], h, w),
                                     bcfg.p_topk) for i in idxs]
+        # coordinate-normalisation dims: each image's TIGHT loader canvas
+        # (pre-bucket) — normalising by the shared bucket canvas would make
+        # a small image's embedding depend on the bucket's largest image
+        # (the same leak the ranking stage fixed; measured -0.9 dB on the
+        # round-3 batched suite before this fix)
+        dims = [datas[i].img.shape[:2] for i in idxs]
         # round the batch up to a multiple of the mesh size by repeating
         b = _round_up(len(group), n_dev)
         padded_group = group + [group[-1]] * (b - len(group))
+        dims = dims + [dims[-1]] * (b - len(dims))
 
         embedders = [
             make_task_embedder(bcfg, np.asarray(d.selected_angles),
-                               np.asarray(d.selected_periods), (h, w),
+                               np.asarray(d.selected_periods), dims[j],
                                jax.random.PRNGKey(bcfg.seed))
-            for d in padded_group]
+            for j, d in enumerate(padded_group)]
         comps = build_components(bcfg, padded_group[0], task)
         model = comps.model
 
