@@ -194,15 +194,6 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
             scan_step, (params, opt_state), keys)
         return params, losses
 
-    if params_override is not None:
-        # eval-only mode (parity fixtures): score the given per-candidate
-        # params ({'mlp': tree with leading n_cand axis}) without fitting
-        params = params_override
-        assert jax.tree.leaves(params['mlp'])[0].shape[0] == n_cand, \
-            'params_override must carry the padded candidate axis'
-    else:
-        params, _ = fit(params, opt_state, jax.random.PRNGKey(cfg.seed + 1))
-
     # ---- evaluation on the held-out pseudo region (search.py:150-205)
     val = np.asarray(i_val, np.int64)
     # exclusive slice ends: +1 so the bottom/right-most val row/column is
@@ -274,6 +265,24 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
             }
 
         return jax.vmap(one)(params, angles, periods)
+
+    if params_override is not None:
+        # eval-only mode (parity fixtures): score the given per-candidate
+        # params ({'mlp': tree with leading n_cand axis}) without fitting
+        params = params_override
+        assert jax.tree.leaves(params['mlp'])[0].shape[0] == n_cand, \
+            'params_override must carry the padded candidate axis'
+    else:
+        if getattr(cfg, 'compile_ahead', True):
+            # the eval program's crop shape varies per image (bucketed),
+            # costing a fresh 2-7 min relay compile; warm it on the INIT
+            # params (same structure) in the background while the 300-iter
+            # lockstep fit runs, so the compile hides behind the fit
+            import threading
+            p0 = params
+            threading.Thread(target=lambda: eval_all(p0),
+                             daemon=True).start()
+        params, _ = fit(params, opt_state, jax.random.PRNGKey(cfg.seed + 1))
 
     comps = {k: np.asarray(v)[:n_real]
              for k, v in jax.device_get(eval_all(params)).items()}
