@@ -80,7 +80,12 @@ def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
     def batched(state: FitState, embedder_b: TaskEmbedder,
                 consts_b: FitConsts, rng):
         n = jax.tree.leaves(state.params)[0].shape[0]
-        rngs = jax.random.split(rng, n)
+        # every image sees the SAME step key — exactly what the sequential
+        # path does (each fit_image consumes the same PRNGKey(seed) chain);
+        # per-image batches still differ because the pools differ. This
+        # makes a batched fit match its sequential counterpart up to block
+        # granularity instead of running a different rng stream.
+        rngs = jnp.broadcast_to(rng, (n,) + rng.shape)
         params, opt_state, metrics = vstep(state.params, state.opt_state,
                                            embedder_b, consts_b, rngs)
         mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
@@ -142,13 +147,15 @@ def make_batched_fit_block(cfg, task: TaskSpec, model, percep, contextual,
 
 def init_batched_state(cfg, task: TaskSpec, model, embedders, rng, percep,
                        style) -> Tuple[FitState, Any]:
-    """Per-image init (independent keys), stacked on the batch axis."""
+    """Per-image init stacked on the batch axis. Every image gets the SAME
+    init key — matching the sequential path, where every fit_image
+    initialises from the same PRNGKey(cfg.seed) chain (models/pipeline.py).
+    """
     from ..models.trainer import init_fit_state
     states = []
     tx = None
-    for i, e in enumerate(embedders):
-        st, tx = init_fit_state(cfg, task, model, e,
-                                jax.random.fold_in(rng, i), percep, style)
+    for e in embedders:
+        st, tx = init_fit_state(cfg, task, model, e, rng, percep, style)
         states.append(st)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
     return stacked, tx

@@ -152,8 +152,10 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
         comps = build_components(bcfg, padded_group[0], task)
         model = comps.model
 
-        state, tx = init_batched_state(bcfg, task, model, embedders,
-                                       jax.random.PRNGKey(bcfg.seed),
+        # same init-key derivation as fit_image (models/pipeline.py):
+        # rng chain from PRNGKey(seed), k_init = second split half
+        rng0, k_init = jax.random.split(jax.random.PRNGKey(bcfg.seed))
+        state, tx = init_batched_state(bcfg, task, model, embedders, k_init,
                                        comps.percep, comps.style)
         consts_list = _pad_pools_to_common([
             make_fit_consts(bcfg, task, d, patch_size) for d in padded_group])
@@ -216,7 +218,7 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             threading.Thread(target=warm, daemon=True).start()
 
         step_blk, step_one = build(ps, pn)
-        rng = jax.random.PRNGKey(bcfg.seed + 7)
+        rng = rng0
         i = 1
         while i <= n_iters:
             # next boundary STRICTLY after i (the decay for boundary == i was

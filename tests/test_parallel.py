@@ -27,50 +27,73 @@ def test_entry_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_batched_state_matches_individual_fits():
-    """One batched sharded step must equal per-image independent steps."""
+def test_batched_step_matches_individual_sequential_steps():
+    """One batched sharded step must EQUAL each image's sequential
+    single-image step: same init key, same step key (the sequential path
+    feeds every image the same PRNGKey chain), per-image consts."""
     import jax.numpy as jnp
     from npp_tpu.config import CompletionConfig, replace
     from npp_tpu.models.completion import COMPLETION_TASK
     from npp_tpu.models.pipeline import make_fit_consts
-    from npp_tpu.models.trainer import init_fit_state, make_fit_step
+    from npp_tpu.models.trainer import (FitState, init_fit_state,
+                                        make_fit_step)
     from npp_tpu.parallel.batch import (init_batched_state,
                                         make_batched_fit_step, stack_consts,
                                         stack_embedders)
     from npp_tpu.parallel.mesh import make_mesh, shard_leading_axis
     from npp_tpu.nn.mlp import NPPNet
-    import __graft_entry__ as ge
+    from tests.test_trainer import tiny_data
+    import dataclasses
+    from npp_tpu.nn.embedder import make_task_embedder
 
     cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
                   patch_num=1, num_real_patch_per_sample=2,
-                  use_perceptual_loss=False, use_contextual_loss=False)
-    n = 2
-    datas, embedders = [], []
-    for i in range(n):
-        d, e = ge._tiny_setup(cfg, patch_size=16)
-        datas.append(d)
-        embedders.append(e)
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  matmul_precision='float32')
+    datas = [dataclasses.replace(tiny_data(40, 48), patch_size=16),
+             dataclasses.replace(tiny_data(36, 44), patch_size=16)]
+    # pad the second image into the shared 40x48 canvas like the runner
+    from npp_tpu.parallel.runner import pad_to_canvas
+    dims = [d.img.shape[:2] for d in datas]
+    datas = [pad_to_canvas(d, 40, 48) for d in datas]
+    embedders = [make_task_embedder(cfg, np.asarray(d.selected_angles),
+                                    np.asarray(d.selected_periods), dims[j],
+                                    jax.random.PRNGKey(cfg.seed))
+                 for j, d in enumerate(datas)]
     model = NPPNet(input_ch_periodic=embedders[0].top1_dim,
                    input_ch_periodic_aux=embedders[0].out_dim -
                    embedders[0].top1_dim,
                    depth=cfg.netdepth, width=cfg.netwidth,
                    activation=cfg.activation)
 
+    k_init, k_step = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
     mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
     state, tx = init_batched_state(cfg, COMPLETION_TASK, model, embedders,
-                                   jax.random.PRNGKey(0), None, None)
-    consts = stack_consts([
-        make_fit_consts(cfg, COMPLETION_TASK, d, 16) for d in datas])
+                                   k_init, None, None)
+    consts_list = [make_fit_consts(cfg, COMPLETION_TASK, d, 16)
+                   for d in datas]
+    from npp_tpu.parallel.runner import _pad_pools_to_common
+    consts_common = _pad_pools_to_common(consts_list)
     step = make_batched_fit_step(cfg, COMPLETION_TASK, model, None, None,
                                  None, tx, cfg.patch_num, 16, mesh=mesh)
     new_state, metrics = step(shard_leading_axis(state, mesh),
                               stack_embedders(embedders),
-                              shard_leading_axis(consts, mesh),
-                              jax.random.PRNGKey(1))
+                              shard_leading_axis(
+                                  stack_consts(consts_common), mesh),
+                              k_step)
     assert np.isfinite(float(metrics['loss']))
-    # params must differ per image (independent inits and rngs)
-    k0 = jax.tree.leaves(new_state.params['mlp'])[0]
-    assert not np.allclose(np.asarray(k0[0]), np.asarray(k0[1]))
+
+    for j in range(2):
+        st_j, tx_j = init_fit_state(cfg, COMPLETION_TASK, model,
+                                    embedders[j], k_init, None, None)
+        sstep = make_fit_step(cfg, COMPLETION_TASK, model, embedders[j],
+                              consts_list[j], None, None, None, tx_j,
+                              cfg.patch_num, 16)
+        seq_state, _ = sstep(st_j, k_step)
+        for a, b in zip(jax.tree.leaves(seq_state.params),
+                        jax.tree.leaves(new_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b[j]),
+                                       rtol=2e-4, atol=2e-5)
 
 
 def test_fit_images_bucketed_runner():
