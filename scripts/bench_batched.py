@@ -44,7 +44,6 @@ def main():
     from npp_tpu.models.completion import COMPLETION_TASK
     from npp_tpu.models.loaders import load_completion
     from npp_tpu.models.pipeline import fit_image
-    from npp_tpu.models.trainer import make_render
     from npp_tpu.parallel.mesh import make_mesh
     from npp_tpu.parallel.runner import fit_images, pad_to_canvas
 
@@ -74,11 +73,13 @@ def main():
                               n_iters=args.iters, mesh=mesh,
                               canvas_multiple=cm, return_ctx=True)
     bat_wall = time.time() - t0
+    from npp_tpu.parallel.batch import make_sharded_render
+    pmesh = make_mesh(('pixels',), (1,), devices=jax.devices()[:1])
+    srender = make_sharded_render(ctxs[0]['cfg'], ctxs[0]['model'], pmesh)
     bat_psnr = []
     for n, d, st, ctx in zip(NAMES, datas, states, ctxs):
-        render = make_render(ctx['cfg'], ctx['model'], ctx['embedder'])
         db = pad_to_canvas(d, *ctx['canvas'])
-        pred = render(st.params, *ctx['canvas'])
+        pred = srender(st.params, ctx['embedder'], *ctx['canvas'])
         bat_psnr.append(hole_psnr(pred, db))
         print(f'[bat] {n}: hole PSNR {bat_psnr[-1]:.2f}', file=sys.stderr)
 

@@ -174,25 +174,45 @@ def main():
             import jax
             import jax.numpy as jnp
             from npp_tpu.models.completion import COMPLETION_TASK, evaluate
-            from npp_tpu.models.trainer import make_render
+            from npp_tpu.parallel.batch import make_sharded_render
+            from npp_tpu.parallel.mesh import make_mesh
             from npp_tpu.parallel.runner import fit_images, pad_to_canvas
             cfg0 = pending[0][2]
             datas = [p[3] for p in pending]
+            # unify the canvas bucket: images only fit CONCURRENTLY when
+            # they share (canvas, patch_size), so round every image up to
+            # the suite's largest dimension (the fit cost is N_rand-bound,
+            # not canvas-bound; the pad region is invalid)
+            cm = max(-(-max(d.img.shape[:2]) // 64) * 64 for d in datas)
             t0 = time.time()
             with timer.phase('fit_batched/completion'):
                 states, ctxs = fit_images(cfg0, COMPLETION_TASK, datas,
                                           n_iters=cfg0.N_iters - 1,
+                                          canvas_multiple=cm,
                                           return_ctx=True)
             wall = time.time() - t0
             n_img = len(pending)
             agg = n_img * (cfg0.N_iters - 1) / max(wall, 1e-9)
             print(f'[suite] batched completion: {n_img} images in '
                   f'{wall:.1f}s ({agg:.1f} aggregate image-iters/s)')
+            # ONE render executable for every image: the embedder (incl.
+            # its per-image normalisation dims) is an ARGUMENT of the
+            # sharded renderer, not a baked closure constant — per-image
+            # make_render closures would each recompile through the relay
+            pmesh = make_mesh(('pixels',), (1,), devices=jax.devices()[:1])
+            renders = {}
             for (name, rec, cfg_i, data), st, ctx in zip(pending, states,
                                                          ctxs):
                 data_b = pad_to_canvas(data, *ctx['canvas'])
-                render = make_render(ctx['cfg'], ctx['model'],
-                                     ctx['embedder'])
+                key = id(ctx['model'])
+                if key not in renders:
+                    renders[key] = make_sharded_render(ctx['cfg'],
+                                                       ctx['model'], pmesh)
+                srender = renders[key]
+
+                def render(params, hh, ww, _r=srender, _e=ctx['embedder']):
+                    return _r(params, _e, hh, ww)
+
                 final = evaluate(data_b, st.params, render,
                                  st.params['adaptive_pix'], cfg_i.loss_type,
                                  comp_seam=args.comp_seam)
