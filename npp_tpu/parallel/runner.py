@@ -70,25 +70,6 @@ def _pad_pools_to_common(consts_list):
             for i in range(len(consts_list))]
 
 
-def pad_proposals_topk(data: TaskData, k: int) -> TaskData:
-    """Pad a gated/short per-image proposal list back to the static top-K by
-    repeating top-1. This is how per-image aux rank-gating
-    (loaders._topk_periodicity) rides ONE compiled batched program: the
-    gated-out aux slots are fed the (correct) top-1 lattice instead of a
-    wrong one, keeping the NPPNet aux input width static across the batch.
-    """
-    n = len(data.selected_angles)
-    if n >= k:
-        return data
-    pad = k - n
-    return dataclasses.replace(
-        data,
-        selected_shifts=list(data.selected_shifts) +
-        [data.selected_shifts[0]] * pad,
-        selected_angles=list(data.selected_angles) +
-        [data.selected_angles[0]] * pad,
-        selected_periods=list(data.selected_periods) +
-        [data.selected_periods[0]] * pad)
 
 
 def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
@@ -101,10 +82,12 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
 
     Per-image configuration (round-3, VERDICT #2):
     - aux rank-gating: each TaskData arrives with its own gated proposal
-      list (loaders apply cfg.aux_gate_ratio per image); short lists are
-      padded back to the static top-K by repeating top-1
-      (pad_proposals_topk), so images with different effective K share one
-      compiled program;
+      list (loaders apply cfg.aux_gate_ratio per image); the EFFECTIVE K
+      is part of the bucket key, so a gated image fits with exactly the
+      architecture the sequential path gives it (NPPNetTop1 for k=1;
+      NPPNet with (k-1) aux blocks otherwise — a top-1-padded shared
+      program was measured 0.4 dB worse on the gated example).
+      aux_gate_ratio=0 (reference fixed-top-K) maximises bucket sharing;
     - per_image[i] optional overrides (currently: 'warp_field') become part
       of the bucket key — images with different warp settings compile
       separate (still batched) programs;
@@ -124,15 +107,16 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
     for i, d in enumerate(datas):
         h = _round_up(d.img.shape[0], canvas_multiple)
         w = _round_up(d.img.shape[1], canvas_multiple)
-        key = (h, w, d.patch_size, tuple(sorted(overrides[i].items())))
+        k_eff = min(cfg.p_topk, len(d.selected_angles))
+        key = (h, w, d.patch_size, k_eff,
+               tuple(sorted(overrides[i].items())))
         buckets.setdefault(key, []).append(i)
 
     results: List[Optional[FitState]] = [None] * len(datas)
     ctxs: List[Optional[dict]] = [None] * len(datas)
-    for (h, w, patch_size, okey), idxs in buckets.items():
+    for (h, w, patch_size, k_eff, okey), idxs in buckets.items():
         bcfg = dataclasses.replace(cfg, **dict(okey)) if okey else cfg
-        group = [pad_proposals_topk(pad_to_canvas(datas[i], h, w),
-                                    bcfg.p_topk) for i in idxs]
+        group = [pad_to_canvas(datas[i], h, w) for i in idxs]
         # coordinate-normalisation dims: each image's TIGHT loader canvas
         # (pre-bucket) — normalising by the shared bucket canvas would make
         # a small image's embedding depend on the bucket's largest image

@@ -47,7 +47,7 @@ def main():
     from npp_tpu.parallel.mesh import make_mesh
     from npp_tpu.parallel.runner import fit_images, pad_to_canvas
 
-    cfg = replace(CompletionConfig(), aux_gate_ratio=1.25,
+    cfg = replace(CompletionConfig(), aux_gate_ratio=0.0,  # fixed top-K: one bucket
                   N_iters=args.iters + 1, i_testset=args.iters)
     datas = [load_completion(replace(cfg, datadir=f'{args.det_root}/{n}'))
              for n in NAMES]
