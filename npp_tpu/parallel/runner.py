@@ -76,7 +76,8 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                n_iters: Optional[int] = None, mesh=None,
                canvas_multiple: int = 64,
                per_image: Optional[Sequence[dict]] = None,
-               return_ctx: bool = False) -> List[FitState]:
+               return_ctx: bool = False,
+               block: Optional[int] = None) -> List[FitState]:
     """Fit all images concurrently (one bucket per padded shape + patch
     size). Returns the per-image FitStates in input order.
 
@@ -151,9 +152,20 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
 
         # patch-size decay schedule (same cadence as fit_image; stages
         # rebuild the batched step + constants at decay boundaries).
-        # lax.scan blocks amortise dispatch latency (~1s/call via the relay).
+        # lax.scan blocks amortise dispatch latency (~1s/call via the
+        # relay). Default block follows fit_image's gcd-of-cadences rule so
+        # the batched rng chain MATCHES the sequential one split-for-split
+        # (per-image fits then differ only by cross-program float
+        # reassociation).
         ps, pn = patch_size, bcfg.patch_num
-        block = 100
+        if block is None:
+            import math
+            blk_ = math.gcd(bcfg.i_testset,
+                            getattr(bcfg, 'i_print', bcfg.i_testset) or
+                            bcfg.i_testset)
+            blk = blk_ if blk_ >= 8 else 100
+        else:
+            blk = block
 
         stage_fns: Dict = {}
 
@@ -163,14 +175,14 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             # re-trace and recompile)
             if (ps_, pn_) in stage_fns:
                 return stage_fns[(ps_, pn_)]
-            blk = make_batched_fit_block(bcfg, task, model, comps.percep,
+            bfn = make_batched_fit_block(bcfg, task, model, comps.percep,
                                          comps.contextual, comps.style, tx,
-                                         pn_, ps_, block, mesh=mesh)
+                                         pn_, ps_, blk, mesh=mesh)
             single = make_batched_fit_step(bcfg, task, model, comps.percep,
                                            comps.contextual, comps.style, tx,
                                            pn_, ps_, mesh=mesh)
-            stage_fns[(ps_, pn_)] = (blk, single)
-            return blk, single
+            stage_fns[(ps_, pn_)] = (bfn, single)
+            return bfn, single
 
         def stage_consts(ps_):
             return shard_leading_axis(stack_consts(_pad_pools_to_common(
@@ -203,28 +215,32 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
 
         step_blk, step_one = build(ps, pn)
         rng = rng0
+        # iteration loop MIRRORS models/pipeline.py::fit_image exactly
+        # (same block alignment, same decay-at-block-start semantics, same
+        # one-split-per-dispatch rng chain), so a batched fit consumes the
+        # identical key sequence as its sequential counterpart.
+        n_total = n_iters + 1          # == cfg.N_iters of the sequential path
+        n_decays = 0
         i = 1
-        while i <= n_iters:
-            # next boundary STRICTLY after i (the decay for boundary == i was
-            # already applied at the end of the previous pass)
-            next_decay = (i // bcfg.patch_size_decay + 1) * \
-                bcfg.patch_size_decay
-            seg_end = min(n_iters, next_decay - 1)
-            remaining = seg_end - i + 1
-            while remaining >= block:
+        while i < n_total:
+            due = (i - 1) // bcfg.patch_size_decay if i > 1 else 0
+            if due > n_decays and ps > 31 and n_total - i > 10:
+                while n_decays < due and ps > 31:
+                    n_decays += 1
+                    ps //= 2
+                    pn *= 2
+                consts = stage_consts(ps)
+                step_blk, step_one = build(ps, pn)
+            remaining = n_total - i
+            if remaining >= blk and (i - 1) % blk == 0:
                 rng, k = jax.random.split(rng)
                 state, _ = step_blk(state, emb_b, consts, k)
                 prewarm_next(ps, pn, state)
-                remaining -= block
-            for _ in range(remaining):
+                i += blk
+            else:
                 rng, k = jax.random.split(rng)
                 state, _ = step_one(state, emb_b, consts, k)
-            i = seg_end + 1
-            if i <= n_iters and ps > 31 and n_iters - i > 10:
-                ps //= 2
-                pn *= 2
-                consts = stage_consts(ps)
-                step_blk, step_one = build(ps, pn)
+                i += 1
         jax.block_until_ready(state.params)
         for j, i in enumerate(idxs):
             results[i] = jax.tree.map(lambda x, jj=j: x[jj], state)

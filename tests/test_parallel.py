@@ -364,3 +364,32 @@ def test_fit_images_invariant_to_bucket_canvas():
                     jax.tree.leaves(s_bucket.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fit_images_chain_matches_sequential_fit_image():
+    """The batched runner's FULL iteration loop (block alignment, decay
+    semantics, rng chain) must reproduce fit_image's results end-to-end,
+    not just one step."""
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import fit_image
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  matmul_precision='float32', N_iters=11, i_testset=10,
+                  i_print=10, canvas_multiple=16)
+    d = dataclasses.replace(tiny_data(40, 48), patch_size=16)
+    seq = fit_image(cfg, COMPLETION_TASK, d, log_every=cfg.i_print)
+    mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    bat = fit_images(cfg, COMPLETION_TASK, [d], mesh=mesh,
+                     canvas_multiple=16)[0]
+    assert int(bat.step) == int(seq.state.step)
+    for a, b in zip(jax.tree.leaves(seq.state.params),
+                    jax.tree.leaves(bat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
