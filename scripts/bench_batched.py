@@ -58,8 +58,10 @@ def main():
     t0 = time.time()
     seq_psnr = []
     for n, d in zip(NAMES, datas):
+        # log_every=i_print matches the batched runner's gcd block rule,
+        # so both paths consume the identical rng chain
         res = fit_image(replace(cfg, datadir=f'{args.det_root}/{n}'),
-                        COMPLETION_TASK, d)
+                        COMPLETION_TASK, d, log_every=cfg.i_print)
         h, w = d.img.shape[:2]
         pred = res.render(res.state.params, h, w)
         seq_psnr.append(hole_psnr(pred, d))
