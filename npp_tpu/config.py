@@ -53,6 +53,13 @@ class BaseConfig:
                                         # thread warms the jitted block; the
                                         # persistent compile cache cannot be
                                         # used through the relay)
+    aot_cache_dir: str = ""             # serialize compiled fit/ranking
+                                        # executables here and reload them in
+                                        # later sessions (utils/aot.py;
+                                        # measured 180 s -> 24 s program
+                                        # acquisition through the relay).
+                                        # "" = off; env NPP_TPU_AOT_CACHE
+                                        # supplies a default when set
     # NOTE: a Pallas fused embed+matmul path existed through round 2 and was
     # REMOVED after hardware A/B: XLA's producer fusion of the on-the-fly
     # embedding is already optimal at these sizes (fwd+bwd 6.0 ms vs 16.5 ms

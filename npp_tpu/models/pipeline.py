@@ -161,6 +161,21 @@ def fit_image(cfg, task: TaskSpec, data: TaskData,
             fn = make_fit_step(cfg, task, comps.model, comps.embedder,
                                consts, comps.percep, comps.contextual,
                                comps.style, tx, pn, ps)
+        from ..utils import aot
+        cache_dir = aot.cache_dir_from(cfg)
+        if cache_dir:
+            # consts + embedder are CLOSED OVER (baked into the executable
+            # as constants), so their data is part of the cache key: a
+            # fresh session re-fitting the SAME image skips the relay
+            # compile; a different image misses (the batched runner's
+            # data-as-arguments programs share across images instead)
+            extra = aot.digest_arrays(
+                {'consts': consts, 'emb': comps.embedder._asdict(),
+                 'percep': comps.percep.params if comps.percep else 0,
+                 'cx': comps.contextual.params if comps.contextual else 0,
+                 'style': comps.style.params if comps.style else 0})
+            fn = aot.aot_cached(fn, f'fit-{task.name}-{ps}x{pn}-b{blk}',
+                                cache_dir, cfg=cfg, extra=extra)
         stage_cache[key] = fn
         return fn
 

@@ -137,29 +137,42 @@ def orthogonal_kernel(shape, seed: int, gain: float = np.sqrt(2.0)) -> np.ndarra
 
 def structured_tower_params(params: Dict[str, Any], seed: int) -> Dict[str, Any]:
     """Replace every conv kernel in a flax params tree: the 3-input-channel
-    stem gets the Gabor bank, everything else scaled-orthogonal; biases 0."""
+    stem gets the Gabor bank, everything else scaled-orthogonal; biases 0.
+
+    Only leaf SHAPES are read, so `params` may be a real params tree or the
+    `jax.eval_shape(module.init, ...)` result (ShapeDtypeStruct leaves) —
+    the generated weights are identical either way. Any non-conv leaf that
+    arrives as an abstract struct is materialised as zeros (the conv towers
+    used here have none)."""
     counter = [0]
+
+    def materialize(leaf):
+        if hasattr(leaf, '__array__') or np.isscalar(leaf):
+            return leaf  # concrete (numpy / jax) value: pass through
+        return np.zeros(tuple(leaf.shape),
+                        getattr(leaf, 'dtype', np.float32))
 
     def walk(tree):
         out = {}
         for name, sub in sorted(tree.items()):
             if isinstance(sub, dict) and 'kernel' in sub \
                     and getattr(sub['kernel'], 'ndim', 0) == 4:
-                k = np.asarray(sub['kernel'])
+                shape = tuple(sub['kernel'].shape)
                 counter[0] += 1
-                if k.shape[2] == 3:  # RGB stem
-                    new = gabor_stem(k.shape[0], 3, k.shape[3],
+                if shape[2] == 3:  # RGB stem
+                    new = gabor_stem(shape[0], 3, shape[3],
                                      seed=seed + counter[0])
                 else:
-                    new = orthogonal_kernel(k.shape, seed + counter[0])
+                    new = orthogonal_kernel(shape, seed + counter[0])
                 rep = {'kernel': new}
                 if 'bias' in sub:
-                    rep['bias'] = np.zeros_like(np.asarray(sub['bias']))
+                    rep['bias'] = np.zeros(tuple(sub['bias'].shape),
+                                           np.float32)
                 out[name] = rep
             elif isinstance(sub, dict):
                 out[name] = walk(sub)
             else:
-                out[name] = sub
+                out[name] = materialize(sub)
         return out
 
     return walk(params)

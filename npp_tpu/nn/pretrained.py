@@ -49,6 +49,13 @@ class WeightReport:
 
 _REPORTS: Dict[str, WeightReport] = {}
 
+# Process-level tower-param cache. Every LPIPS()/ContextualLoss()/style
+# construction used to re-resolve (and, on the analytic path, re-generate)
+# its tower; behind the TPU relay the flax `module.init` alone cost tens of
+# seconds of remote compile per tower, paid once per image in the suite.
+# Params are immutable trees — sharing one instance is safe.
+_PARAM_CACHE: Dict[tuple, tuple] = {}
+
 
 def weight_reports() -> Dict[str, WeightReport]:
     return dict(_REPORTS)
@@ -90,7 +97,17 @@ def _flat_to_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 def load_tower_params(name: str, module, example_input) -> Dict[str, Any]:
     """Resolve a conv tower's params: converted weights if available, else a
-    deterministic fallback init. Returns a flax 'params' tree."""
+    deterministic fallback init. Returns a flax 'params' tree (cached per
+    process; the tree is shared between callers and must not be mutated)."""
+    fallback = os.environ.get('NPP_TPU_FALLBACK', 'analytic')
+    cache_key = (name, fallback, os.environ.get('NPP_TPU_WEIGHTS_DIR'),
+                 os.environ.get('NPP_TPU_TORCH_WEIGHTS'))
+    hit = _PARAM_CACHE.get(cache_key)
+    if hit is not None:
+        params, report = hit
+        _REPORTS[name] = report
+        return params
+
     flat = None
     src = 'random'
     npz = _find_npz(name)
@@ -108,15 +125,23 @@ def load_tower_params(name: str, module, example_input) -> Dict[str, Any]:
         params = _flat_to_tree(flat)
     else:
         seed = int.from_bytes(name.encode()[:4].ljust(4, b'\0'), 'little')
-        params = module.init(jax.random.PRNGKey(seed), example_input)['params']
-        if os.environ.get('NPP_TPU_FALLBACK', 'analytic') == 'analytic':
-            # structured training-free weights (Gabor stem + orthogonal
-            # mixing) instead of a flat random init; see nn/analytic.py
+        if fallback == 'analytic':
+            # Structured training-free weights (Gabor stem + orthogonal
+            # mixing; see nn/analytic.py) depend only on kernel SHAPES and
+            # the seed — eval_shape gets those without compiling/executing
+            # the init program (tens of seconds through the TPU relay).
             from .analytic import structured_tower_params
+            shapes = jax.eval_shape(module.init, jax.random.PRNGKey(seed),
+                                    example_input)['params']
             params = jax.tree.map(jnp.asarray,
-                                  structured_tower_params(params, seed))
+                                  structured_tower_params(shapes, seed))
             src = 'analytic'
-    _REPORTS[name] = WeightReport(name, src)
+        else:
+            params = module.init(jax.random.PRNGKey(seed),
+                                 example_input)['params']
+    report = WeightReport(name, src)
+    _REPORTS[name] = report
+    _PARAM_CACHE[cache_key] = (params, report)
     return params
 
 

@@ -181,6 +181,26 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             single = make_batched_fit_step(bcfg, task, model, comps.percep,
                                            comps.contextual, comps.style, tx,
                                            pn_, ps_, mesh=mesh)
+            from ..utils import aot
+            cache_dir = aot.cache_dir_from(bcfg)
+            if cache_dir:
+                # image data (consts, embedders, state) are ARGUMENTS of
+                # the batched programs, so one cache entry serves every
+                # image/bucket of the same shapes across sessions; the
+                # closed-over tower params + model/mesh identity go into
+                # the key
+                extra = aot.digest_arrays({
+                    'percep': comps.percep.params if comps.percep else 0,
+                    'cx': comps.contextual.params if comps.contextual else 0,
+                    'style': comps.style.params if comps.style else 0,
+                }) + f'{type(model).__name__}/{k_eff}/' \
+                     f'{dict(mesh.shape)}'.encode()
+                bfn = aot.aot_cached(
+                    bfn, f'bfit-{task.name}-{ps_}x{pn_}-b{blk}',
+                    cache_dir, cfg=bcfg, extra=extra)
+                single = aot.aot_cached(
+                    single, f'bfit-{task.name}-{ps_}x{pn_}-b1',
+                    cache_dir, cfg=bcfg, extra=extra)
             stage_fns[(ps_, pn_)] = (bfn, single)
             return bfn, single
 

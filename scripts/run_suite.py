@@ -52,6 +52,11 @@ def main():
                     choices=['reference', 'window', 'mse', 'heldout_mse'],
                     help='ranking proxy objective for the searches '
                          '(default: SearchConfig.rank_proxy)')
+    ap.add_argument('--aot-cache', default=os.environ.get(
+                        'NPP_TPU_AOT_CACHE', ''),
+                    help='directory for serialized compiled executables '
+                         '(utils/aot.py): a later suite run reloads them '
+                         'instead of paying the 2-7 min relay compiles')
     args = ap.parse_args()
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
@@ -137,6 +142,8 @@ def main():
             gate = args.aux_gate_ratio if args.aux_gate_ratio is not None \
                 else (1.25 if task == 'completion' else 0.0)
             cfg = replace(cfg, aux_gate_ratio=gate)
+            if args.aot_cache:
+                cfg = replace(cfg, aot_cache_dir=args.aot_cache)
             if task == 'completion':
                 cfg = replace(cfg, comp_seam=args.comp_seam)
             if args.iters_scale != 1.0:

@@ -1,0 +1,155 @@
+"""AOT executable cache (utils/aot.py): key discrimination, disk
+round-trip with identical outputs, and the fit_image integration path.
+
+The backend must support PJRT executable (de)serialization — XLA:CPU and
+the TPU relay both do (measured round 3, scripts/ab_aot_serialize.py);
+tests skip cleanly if a backend does not.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npp_tpu.utils import aot
+
+
+def _serialization_supported() -> bool:
+    from jax.experimental import serialize_executable as se
+    try:
+        c = jax.jit(lambda x: x + 1).lower(jnp.zeros((4,))).compile()
+        se.serialize(c)
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _serialization_supported(),
+    reason='backend does not support executable serialization')
+
+
+def test_roundtrip_and_hit(tmp_path, monkeypatch):
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    x = jnp.arange(12.0).reshape(3, 4)
+    f = jax.jit(lambda a: a @ a.T + 1.0)
+    logs = []
+    w1 = aot._AotWrapped(f, 'tiny', str(tmp_path), log=logs.append)
+    out1 = np.asarray(w1(x))
+    files = [f_ for f_ in os.listdir(tmp_path) if f_.endswith('.aot')]
+    assert len(files) == 1, logs
+    assert any('compiled' in m for m in logs)
+
+    # a fresh wrapper instance must LOAD, not recompile
+    logs2 = []
+    w2 = aot._AotWrapped(f, 'tiny', str(tmp_path), log=logs2.append)
+    out2 = np.asarray(w2(x))
+    assert any('loaded' in m for m in logs2), logs2
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_key_discriminates(tmp_path):
+    f = jax.jit(lambda a: a * 2)
+    w = aot._AotWrapped(f, 'k', str(tmp_path))
+    base = w._key((jnp.zeros((2, 2)),))
+    # different avals
+    assert w._key((jnp.zeros((3, 2)),)) != base
+    assert w._key((jnp.zeros((2, 2), jnp.bfloat16),)) != base
+    # different closure digest
+    w_extra = aot._AotWrapped(f, 'k', str(tmp_path), extra=b'img0')
+    assert w_extra._key((jnp.zeros((2, 2)),)) != base
+    # different cfg
+    w_cfg = aot._AotWrapped(f, 'k', str(tmp_path), cfg={'lrate': 1e-3})
+    assert w_cfg._key((jnp.zeros((2, 2)),)) != base
+    # stable across instances
+    w_same = aot._AotWrapped(f, 'k', str(tmp_path))
+    assert w_same._key((jnp.zeros((2, 2)),)) == base
+
+
+def test_digest_arrays_values_matter():
+    a = {'x': jnp.ones((4,)), 'y': np.arange(3)}
+    b = {'x': jnp.ones((4,)), 'y': np.arange(3)}
+    c = {'x': jnp.ones((4,)) * 2, 'y': np.arange(3)}
+    assert aot.digest_arrays(a) == aot.digest_arrays(b)
+    assert aot.digest_arrays(a) != aot.digest_arrays(c)
+
+
+def test_corrupt_entry_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    x = jnp.ones((5,))
+    f = jax.jit(lambda a: a - 3.0)
+    w = aot._AotWrapped(f, 'c', str(tmp_path), log=lambda m: None)
+    w(x)
+    (path,) = [os.path.join(tmp_path, p) for p in os.listdir(tmp_path)]
+    with open(path, 'wb') as fh:
+        fh.write(b'garbage')
+    logs = []
+    w2 = aot._AotWrapped(f, 'c', str(tmp_path), log=logs.append)
+    np.testing.assert_array_equal(np.asarray(w2(x)), np.asarray(f(x)))
+    assert any('load failed' in m for m in logs)
+
+
+def test_batched_runner_uses_cache_under_mesh(tmp_path, monkeypatch):
+    """fit_images on a 2-device mesh with the cache on: the sharded batched
+    program serializes, reloads in a fresh wrapper, and reproduces the
+    uncached result exactly (device assignment restored from the entry)."""
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+
+    if len(jax.devices()) < 2:
+        pytest.skip('needs >=2 devices')
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  aot_cache_dir=str(tmp_path / 'aot'))
+    datas = [dataclasses.replace(tiny_data(40, 48), patch_size=16),
+             dataclasses.replace(tiny_data(36, 44), patch_size=16)]
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+    s1 = fit_images(cfg, COMPLETION_TASK, datas, n_iters=3, mesh=mesh,
+                    canvas_multiple=16)
+    assert any(f_.endswith('.aot') for f_ in os.listdir(tmp_path / 'aot'))
+    s2 = fit_images(cfg, COMPLETION_TASK, datas, n_iters=3, mesh=mesh,
+                    canvas_multiple=16)
+    s3 = fit_images(replace(cfg, aot_cache_dir=''), COMPLETION_TASK, datas,
+                    n_iters=3, mesh=mesh, canvas_multiple=16)
+    for a, b, c in zip(jax.tree.leaves(s1[0].params),
+                       jax.tree.leaves(s2[0].params),
+                       jax.tree.leaves(s3[0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_fit_image_uses_cache(tmp_path, monkeypatch):
+    """fit_image with aot_cache_dir: first run compiles + saves, second run
+    (fresh wrapper identity, same image/config) loads and matches the
+    uncached trajectory exactly."""
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    from npp_tpu.config import replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import fit_image
+    from tests.test_trainer import tiny_cfg, tiny_data
+
+    cfg = replace(tiny_cfg(), N_iters=17, i_testset=8, i_print=8,
+                  aot_cache_dir=str(tmp_path / 'aot'))
+    data = tiny_data()
+    r1 = fit_image(cfg, COMPLETION_TASK, data)
+    saved = [f_ for f_ in os.listdir(tmp_path / 'aot')
+             if f_.endswith('.aot')]
+    assert saved, 'no executable was cached'
+
+    r2 = fit_image(cfg, COMPLETION_TASK, data)
+    for a, b in zip(jax.tree.leaves(r1.state.params),
+                    jax.tree.leaves(r2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg_off = replace(cfg, aot_cache_dir='')
+    r3 = fit_image(cfg_off, COMPLETION_TASK, data)
+    for a, b in zip(jax.tree.leaves(r1.state.params),
+                    jax.tree.leaves(r3.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
