@@ -9,6 +9,13 @@ candidate-dependent embedding/loss, `lax.scan` over the N_iters fit
 per-candidate so every candidate sees the same init and the same pixel
 batches (search.py:91-92) — replicated here by broadcasting one init and
 sharing batch indices across the candidate axis.
+
+Round-3: the fit/eval programs take ALL per-image data (image canvas, pixel
+pool, candidate lattices, Fourier bands, normalisation dims, held-out
+coordinates, crop origin) as ARGUMENTS instead of traced constants, so one
+compiled executable serves every image of a static shape class — the
+2-7 min relay compile is paid once per suite instead of once per image, and
+the executables are AOT-cacheable across sessions (utils/aot.py).
 """
 from __future__ import annotations
 
@@ -57,6 +64,185 @@ def combine_scores(cfg, comps: dict) -> dict:
     }
 
 
+# one (fit, eval, tx, params0) program bundle per static shape class —
+# shared by every image the suite ranks on that class
+_PROGRAM_CACHE: dict = {}
+
+_CHUNK = 1 << 14
+
+
+def _rank_programs(cfg, statics, percep: LPIPS, contextual: ContextualLoss,
+                   mesh, cand_axis: str):
+    """Build (or fetch) the lockstep-fit and vmapped-eval programs for one
+    static shape class `statics = (h, w, n_cand, pool_len, n_chunks, ch,
+    cw)`. Per-image data are arguments (module docstring), so the returned
+    callables are image-independent."""
+    from ..utils import aot
+    # the tower/mesh objects themselves key the cache (default object
+    # hashing) — holding them strongly also pins their ids, so a
+    # garbage-collected tower can never alias a stale program
+    key = (aot._cfg_sig(cfg), statics, percep, contextual, mesh, cand_axis)
+    hit = _PROGRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    h, w, n_cand, pool_len, n_chunks, ch, cw = statics
+
+    def _shard_cands(tree):
+        """Constrain candidate-leading leaves onto the mesh axis (scalar
+        leaves, e.g. the Adam step count, stay replicated)."""
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = NamedSharding(mesh, P(cand_axis))
+        rep = NamedSharding(mesh, P())
+
+        def pick(x):
+            return spec if getattr(x, 'ndim', 0) >= 1 and \
+                x.shape[0] == n_cand else rep
+        return jax.lax.with_sharding_constraint(
+            tree, jax.tree.map(pick, tree))
+
+    p_dim = periodic_embed_dim(cfg, include_input=False)
+    pos_dim = nerf_embed_dim(cfg, 2, include_input=True)
+    model = NPPNetLight(
+        input_ch_periodic_all=p_dim, n_scales=len(cfg.freq_scales),
+        n_offsets=len(cfg.freq_offsets),
+        n_angle_offsets=len(cfg.angle_offsets), depth=cfg.netdepth,
+        width=cfg.netwidth, activation=cfg.activation)
+
+    # one init broadcast to all candidates (reference reseeds per candidate)
+    params0 = {
+        'mlp': model.init(jax.random.PRNGKey(cfg.seed),
+                          jnp.zeros((1, pos_dim)), jnp.zeros((1, p_dim)))['params'],
+        'adaptive_pix': adaptive_init(3),
+    }
+    sched = lambda s: cfg.lrate * (0.1 ** (s / (cfg.lrate_decay * 100.0)))
+    tx = optax.adam(sched, b1=0.9, b2=0.999)
+
+    import contextlib
+
+    def _precision_ctx():
+        return jax.default_matmul_precision(cfg.matmul_precision) \
+            if cfg.matmul_precision != 'default' else contextlib.nullcontext()
+
+    def embed_pos(coords, norm_hw):
+        return fourier_encode(
+            normalize_coords(coords, (norm_hw[0], norm_hw[1])),
+            norm_hw[2:], True)
+
+    def embed_peri(coords, ang, per, norm_hw):
+        return periodic_warp(coords, ang, per, cfg.freq_scales,
+                             cfg.freq_offsets, cfg.angle_offsets,
+                             (norm_hw[0], norm_hw[1]), include_input=False)
+
+    def one_cand_loss(p, ang, per, coords, gt, norm_hw):
+        with _precision_ctx():
+            e_pos = embed_pos(coords, norm_hw)
+            e_per = embed_peri(coords, ang, per, norm_hw)
+            pred = render_activation(
+                model.apply({'params': p['mlp']}, e_pos, e_per),
+                cfg.normalize_type)
+            return img2mse(pred, gt, cfg.loss_type, p['adaptive_pix'], None)
+
+    @jax.jit
+    def fit(params, opt_state, rng, img, pool, n_pool, angles, periods,
+            norm_hw):
+        params = _shard_cands(params)
+        opt_state = _shard_cands(opt_state)
+
+        def scan_step(carry, key):
+            params, opt_state = carry
+            idx = jax.random.randint(key, (cfg.N_rand,), 0, n_pool)
+            coords = pool[idx].astype(jnp.float32)
+            gt = img[pool[idx][:, 0], pool[idx][:, 1]]
+
+            def per_cand(p, ang, per):
+                return jax.value_and_grad(one_cand_loss)(
+                    p, ang, per, coords, gt, norm_hw)
+
+            losses, grads = jax.vmap(per_cand)(params, angles, periods)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.mean(losses)
+
+        keys = jax.random.split(rng, cfg.N_iters)
+        (params, opt_state), losses = jax.lax.scan(
+            scan_step, (params, opt_state), keys)
+        return params, losses
+
+    @jax.jit
+    def eval_all(params, img, angles, periods, norm_hw, val_pad, crop_org):
+        """Render the held-out region for EVERY candidate and compute all
+        score components in one program (vmap over the padded candidate
+        axis). `val_pad` is (n_chunks, CHUNK, 2) int32 held-out coords,
+        padded with the out-of-bounds sentinel (h, w): sentinel rows are
+        DROPPED by the canvas scatters (jax out-of-bounds scatter
+        semantics) and masked out of the MSE — exactly the rows the
+        pre-round-3 implementation trimmed off statically."""
+        params = _shard_cands(params)
+        val_flat = val_pad.reshape(-1, 2)
+        valid = (val_flat[:, 0] < h).astype(jnp.float32)          # (Nv,)
+        n_val = jnp.maximum(jnp.sum(valid), 1.0)
+        gt_vals = img[val_flat[:, 0], val_flat[:, 1]]             # clamped
+        gt_canvas = jnp.zeros((h, w, 3)).at[
+            val_flat[:, 0], val_flat[:, 1]].set(gt_vals)
+
+        def crop(x):
+            return jax.lax.dynamic_slice(
+                x, (crop_org[0], crop_org[1], 0), (ch, cw, x.shape[-1]))
+
+        gt_crop = crop(gt_canvas)[None]
+        # context for the composited 'window' score: the image itself (true
+        # values at the held-out window, identical for all candidates
+        # elsewhere)
+        ctx_crop = crop(img)
+        val_in_crop = crop(jnp.zeros((h, w, 1)).at[
+            val_flat[:, 0], val_flat[:, 1]].set(1.0))
+
+        def one(p, ang, per):
+            def body(c):
+                cf = c.astype(jnp.float32)
+                raw = model.apply({'params': p['mlp']},
+                                  embed_pos(cf, norm_hw),
+                                  embed_peri(cf, ang, per, norm_hw))
+                return render_activation(raw, cfg.normalize_type)
+            out = jax.lax.map(body, val_pad).reshape(-1, 3)
+            pred = jnp.zeros((h, w, 3)).at[
+                val_flat[:, 0], val_flat[:, 1]].set(out)
+            pred_crop = crop(pred)[None]
+            comp_crop = (ctx_crop * (1.0 - val_in_crop) +
+                         pred_crop[0] * val_in_crop)[None]
+            return {
+                'lpips_bbox': jnp.mean(percep(pred_crop, gt_crop,
+                                              use_robust=False)),
+                'cx_bbox': contextual(pred_crop, gt_crop),
+                'lpips_comp': jnp.mean(percep(comp_crop, ctx_crop[None],
+                                              use_robust=False)),
+                'cx_comp': contextual(comp_crop, ctx_crop[None]),
+                'val_mse': jnp.sum(valid * jnp.sum((out - gt_vals) ** 2, -1))
+                           / (3.0 * n_val),
+            }
+
+        return jax.vmap(one)(params, angles, periods)
+
+    cache_dir = aot.cache_dir_from(cfg)
+    if cache_dir:
+        extra = aot.digest_arrays({
+            'percep': percep.params, 'cx': contextual.params,
+        }) + repr(statics).encode() + \
+            (repr(dict(mesh.shape)) if mesh is not None else '').encode()
+        fit = aot.aot_cached(fit, f'rank-fit-{h}x{w}-c{n_cand}-p{pool_len}',
+                             cache_dir, cfg=cfg, extra=extra)
+        eval_all = aot.aot_cached(
+            eval_all, f'rank-eval-{h}x{w}-c{n_cand}-{ch}x{cw}-v{n_chunks}',
+            cache_dir, cfg=cfg, extra=extra)
+
+    bundle = (fit, eval_all, tx, params0)
+    _PROGRAM_CACHE[key] = bundle
+    return bundle
+
+
 def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
                    i_val: np.ndarray, all_angles, all_periods,
                    percep: LPIPS, contextual: ContextualLoss,
@@ -92,21 +278,6 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     if mesh is not None:
         nd = mesh.shape[cand_axis]
         n_cand = -(-n_cand // nd) * nd
-
-    def _shard_cands(tree):
-        """Constrain candidate-leading leaves onto the mesh axis (scalar
-        leaves, e.g. the Adam step count, stay replicated)."""
-        if mesh is None:
-            return tree
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        spec = NamedSharding(mesh, P(cand_axis))
-        rep = NamedSharding(mesh, P())
-
-        def pick(x):
-            return spec if getattr(x, 'ndim', 0) >= 1 and \
-                x.shape[0] == n_cand else rep
-        return jax.lax.with_sharding_constraint(
-            tree, jax.tree.map(pick, tree))
     ang_np = np.asarray(all_angles, np.float32)
     per_np = np.asarray(all_periods, np.float32)
     if n_cand > n_real:
@@ -117,36 +288,9 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     angles = jnp.asarray(ang_np)    # (N, 2)
     periods = jnp.asarray(per_np)   # (N, 2)
 
-    bands = jnp.asarray(bands_override) if bands_override is not None \
+    bands = jnp.asarray(bands_override, jnp.float32) \
+        if bands_override is not None \
         else gaussian_freq_bands(jax.random.PRNGKey(cfg.seed), cfg.multires)
-    p_dim = periodic_embed_dim(cfg, include_input=False)
-
-    model = NPPNetLight(
-        input_ch_periodic_all=p_dim, n_scales=len(cfg.freq_scales),
-        n_offsets=len(cfg.freq_offsets),
-        n_angle_offsets=len(cfg.angle_offsets), depth=cfg.netdepth,
-        width=cfg.netwidth, activation=cfg.activation)
-
-    def embed_pos(coords):
-        return fourier_encode(normalize_coords(coords, (nh, nw)), bands, True)
-
-    def embed_peri(coords, ang, per):
-        return periodic_warp(coords, ang, per, cfg.freq_scales,
-                             cfg.freq_offsets, cfg.angle_offsets, (nh, nw),
-                             include_input=False)
-
-    # one init broadcast to all candidates (reference reseeds per candidate)
-    pos_dim = nerf_embed_dim(cfg, 2, include_input=True)
-    params0 = {
-        'mlp': model.init(jax.random.PRNGKey(cfg.seed),
-                          jnp.zeros((1, pos_dim)), jnp.zeros((1, p_dim)))['params'],
-        'adaptive_pix': adaptive_init(3),
-    }
-    params = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_cand,) + x.shape), params0)
-    sched = lambda s: cfg.lrate * (0.1 ** (s / (cfg.lrate_decay * 100.0)))
-    tx = optax.adam(sched, b1=0.9, b2=0.999)
-    opt_state = tx.init(params)
 
     img = jnp.asarray(masked_img, jnp.float32)
     # pad the pool to a power-of-two length (executable reuse across images);
@@ -156,43 +300,10 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
     train_pool = jnp.asarray(padded)
     n_pool = jnp.asarray(max(n_true, 1), jnp.int32)
 
-    import contextlib
-
-    def _precision_ctx():
-        return jax.default_matmul_precision(cfg.matmul_precision) \
-            if cfg.matmul_precision != 'default' else contextlib.nullcontext()
-
-    def one_cand_loss(p, ang, per, coords, gt):
-        with _precision_ctx():
-            e_pos = embed_pos(coords)
-            e_per = embed_peri(coords, ang, per)
-            pred = render_activation(
-                model.apply({'params': p['mlp']}, e_pos, e_per),
-                cfg.normalize_type)
-            return img2mse(pred, gt, cfg.loss_type, p['adaptive_pix'], None)
-
-    def scan_step(carry, key):
-        params, opt_state = carry
-        idx = jax.random.randint(key, (cfg.N_rand,), 0, n_pool)
-        coords = train_pool[idx].astype(jnp.float32)
-        gt = img[train_pool[idx][:, 0], train_pool[idx][:, 1]]
-
-        def per_cand(p, ang, per):
-            return jax.value_and_grad(one_cand_loss)(p, ang, per, coords, gt)
-
-        losses, grads = jax.vmap(per_cand)(params, angles, periods)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), jnp.mean(losses)
-
-    @jax.jit
-    def fit(params, opt_state, rng):
-        params = _shard_cands(params)
-        opt_state = _shard_cands(opt_state)
-        keys = jax.random.split(rng, cfg.N_iters)
-        (params, opt_state), losses = jax.lax.scan(
-            scan_step, (params, opt_state), keys)
-        return params, losses
+    # normalisation dims + Fourier bands ride ONE argument vector so the
+    # embedding closures stay image-independent: [nh, nw, band_0..band_F]
+    norm_hw = jnp.concatenate([jnp.asarray([nh, nw], jnp.float32),
+                               jnp.asarray(bands, jnp.float32)])
 
     # ---- evaluation on the held-out pseudo region (search.py:150-205)
     val = np.asarray(i_val, np.int64)
@@ -221,50 +332,25 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
         return lo, hi
     hmin, hmax = _bucketed(hmin, hmax, nh)
     wmin, wmax = _bucketed(wmin, wmax, nw)
-    val_j = jnp.asarray(val.astype(np.int32))
 
-    chunk = 1 << 14
-    pad = (-len(val)) % chunk
-    val_pad = jnp.pad(val_j, ((0, pad), (0, 0))).reshape(-1, chunk, 2)
+    # held-out coords, chunked for lax.map; padded to a power-of-two chunk
+    # count with the out-of-bounds sentinel (h, w) — sentinel rows are
+    # dropped/masked inside the eval program
+    n_chunks_min = -(-len(val) // _CHUNK)
+    n_chunks = 1 << (max(n_chunks_min, 1) - 1).bit_length()
+    val_np = np.full((n_chunks * _CHUNK, 2), (h, w), np.int32)
+    val_np[:len(val)] = val.astype(np.int32)
+    val_pad = jnp.asarray(val_np).reshape(n_chunks, _CHUNK, 2)
+    crop_org = jnp.asarray([hmin, wmin], jnp.int32)
 
-    gt_vals = img[val_j[:, 0], val_j[:, 1]]                   # (Nv, 3)
-    gt_canvas = jnp.zeros((h, w, 3)).at[val_j[:, 0], val_j[:, 1]].set(gt_vals)
-    gt_crop = gt_canvas[hmin:hmax, wmin:wmax][None]
-    # context for the composited 'window' score: the image itself (true
-    # values at the held-out window, identical for all candidates elsewhere)
-    ctx_crop = img[hmin:hmax, wmin:wmax]
-    val_in_crop = (jnp.zeros((h, w, 1)).at[val_j[:, 0], val_j[:, 1]].set(1.0)
-                   )[hmin:hmax, wmin:wmax]
+    statics = (h, w, n_cand, train_pool.shape[0], n_chunks,
+               hmax - hmin, wmax - wmin)
+    fit, eval_all, tx, params0 = _rank_programs(
+        cfg, statics, percep, contextual, mesh, cand_axis)
 
-    @jax.jit
-    def eval_all(params):
-        """Render the held-out region for EVERY candidate and compute all
-        score components in one program (vmap over the padded candidate
-        axis; one compiled executable per suite, one dispatch per image)."""
-        params = _shard_cands(params)
-
-        def one(p, ang, per):
-            def body(c):
-                cf = c.astype(jnp.float32)
-                raw = model.apply({'params': p['mlp']}, embed_pos(cf),
-                                  embed_peri(cf, ang, per))
-                return render_activation(raw, cfg.normalize_type)
-            out = jax.lax.map(body, val_pad).reshape(-1, 3)[:len(val)]
-            pred = jnp.zeros((h, w, 3)).at[val_j[:, 0], val_j[:, 1]].set(out)
-            pred_crop = pred[hmin:hmax, wmin:wmax][None]
-            comp_crop = (ctx_crop * (1.0 - val_in_crop) +
-                         pred_crop[0] * val_in_crop)[None]
-            return {
-                'lpips_bbox': jnp.mean(percep(pred_crop, gt_crop,
-                                              use_robust=False)),
-                'cx_bbox': contextual(pred_crop, gt_crop),
-                'lpips_comp': jnp.mean(percep(comp_crop, ctx_crop[None],
-                                              use_robust=False)),
-                'cx_comp': contextual(comp_crop, ctx_crop[None]),
-                'val_mse': jnp.mean((out - gt_vals) ** 2),
-            }
-
-        return jax.vmap(one)(params, angles, periods)
+    params = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_cand,) + x.shape), params0)
+    opt_state = tx.init(params)
 
     if params_override is not None:
         # eval-only mode (parity fixtures): score the given per-candidate
@@ -274,18 +360,23 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
             'params_override must carry the padded candidate axis'
     else:
         if getattr(cfg, 'compile_ahead', True):
-            # the eval program's crop shape varies per image (bucketed),
-            # costing a fresh 2-7 min relay compile; warm it on the INIT
-            # params (same structure) in the background while the 300-iter
-            # lockstep fit runs, so the compile hides behind the fit
+            # the eval program compiles 2-7 min through the relay on its
+            # first shape class; warm it on the INIT params (same
+            # structure) in the background while the 300-iter lockstep fit
+            # runs, so the compile hides behind the fit
             import threading
             p0 = params
-            threading.Thread(target=lambda: eval_all(p0),
-                             daemon=True).start()
-        params, _ = fit(params, opt_state, jax.random.PRNGKey(cfg.seed + 1))
+            threading.Thread(
+                target=lambda: eval_all(p0, img, angles, periods, norm_hw,
+                                        val_pad, crop_org),
+                daemon=True).start()
+        params, _ = fit(params, opt_state, jax.random.PRNGKey(cfg.seed + 1),
+                        img, train_pool, n_pool, angles, periods, norm_hw)
 
     comps = {k: np.asarray(v)[:n_real]
-             for k, v in jax.device_get(eval_all(params)).items()}
+             for k, v in jax.device_get(
+                 eval_all(params, img, angles, periods, norm_hw, val_pad,
+                          crop_org)).items()}
     scores = combine_scores(cfg, comps)
     proxy = getattr(cfg, 'rank_proxy', 'reference')
     distances = scores[proxy]
