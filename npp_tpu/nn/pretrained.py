@@ -95,6 +95,53 @@ def _flat_to_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+def _analytic_cache_path(name: str, shapes, seed: int) -> Optional[str]:
+    """Disk cache for generated analytic towers (the QR decompositions cost
+    ~15 s of host time per process). Lives under $NPP_TPU_AOT_CACHE when
+    set; keyed by tower name, seed, the analytic generator's source hash,
+    and the shape signature."""
+    root = os.environ.get('NPP_TPU_AOT_CACHE')
+    if not root:
+        return None
+    import hashlib
+    h = hashlib.sha256()
+    src = os.path.join(os.path.dirname(__file__), 'analytic.py')
+    with open(src, 'rb') as f:
+        h.update(f.read())
+    h.update(str(seed).encode())
+    for path, leaf in jax.tree_util.tree_flatten_with_path(shapes)[0]:
+        h.update(f'{path}{tuple(leaf.shape)}'.encode())
+    return os.path.join(root, f'tower-{name}-{h.hexdigest()[:16]}.npz')
+
+
+def _analytic_disk_cache_load(name, shapes, seed) -> Optional[Dict[str, np.ndarray]]:
+    path = _analytic_cache_path(name, shapes, seed)
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as f:
+            return {k: f[k] for k in f.files}
+    except Exception:
+        return None
+
+
+def _analytic_disk_cache_save(name, params, seed) -> None:
+    path = _analytic_cache_path(name, params, seed)
+    if path is None:
+        return
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        flat = {'/'.join(str(p.key) for p in pth): np.asarray(leaf)
+                for pth, leaf in
+                jax.tree_util.tree_flatten_with_path(params)[0]}
+        tmp = f'{path}.tmp.{os.getpid()}'
+        with open(tmp, 'wb') as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
 def load_tower_params(name: str, module, example_input) -> Dict[str, Any]:
     """Resolve a conv tower's params: converted weights if available, else a
     deterministic fallback init. Returns a flax 'params' tree (cached per
@@ -133,8 +180,13 @@ def load_tower_params(name: str, module, example_input) -> Dict[str, Any]:
             from .analytic import structured_tower_params
             shapes = jax.eval_shape(module.init, jax.random.PRNGKey(seed),
                                     example_input)['params']
-            params = jax.tree.map(jnp.asarray,
-                                  structured_tower_params(shapes, seed))
+            flat = _analytic_disk_cache_load(name, shapes, seed)
+            if flat is not None:
+                params = _flat_to_tree(flat)
+            else:
+                params = structured_tower_params(shapes, seed)
+                _analytic_disk_cache_save(name, params, seed)
+                params = jax.tree.map(jnp.asarray, params)
             src = 'analytic'
         else:
             params = module.init(jax.random.PRNGKey(seed),

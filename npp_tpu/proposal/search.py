@@ -46,11 +46,12 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         valid_mask = np.pad(valid_mask, pad3)
 
     # ---- candidate detection (reference: loaders.py:28-32)
+    from ..utils.aot import cache_dir_from
     all_angles, all_periods, all_shifts = search_periodicity_by_feat(
         np.uint8(masked_img * 255),
         np.uint8(valid_mask * unknown_mask)[..., 0],
         repeat_range=cfg.search_range, edge_searching=cfg.edge_searching,
-        gray_only=cfg.gray_only)
+        gray_only=cfg.gray_only, aot_dir=cache_dir_from(cfg))
 
     if not all_angles:
         raise RuntimeError(f'no periodicity candidates found for {name}')

@@ -35,9 +35,8 @@ import numpy as np
 from .features import act2edge, im2act
 
 
-@partial(jax.jit, static_argnames=('edge_searching',))
-def displacement_loss_grid(activation: jnp.ndarray, mask: jnp.ndarray,
-                           edge_searching: bool = True) -> jnp.ndarray:
+def _displacement_loss_grid(activation: jnp.ndarray, mask: jnp.ndarray,
+                            edge_searching: bool = True) -> jnp.ndarray:
     """Loss at every displacement (dy in [0, H), dx in (-W, W)).
 
     activation: (C, H, W) feature stack WITHOUT the trailing mask channel
@@ -69,6 +68,30 @@ def displacement_loss_grid(activation: jnp.ndarray, mask: jnp.ndarray,
     pos = corr[:h, :w]                                    # dx in [0, W)
     neg = corr[:h, w:]                                    # dx in [-W, 0)
     return jnp.concatenate([neg, pos], axis=1)            # (H, 2W); col = dx + W
+
+
+# public jitted entry (kept for direct callers/tests)
+displacement_loss_grid = partial(jax.jit, static_argnames=('edge_searching',))(
+    _displacement_loss_grid)
+
+# per-(shape, flag) program registry so the FFT scorer — the only device
+# program in detection — can ride the AOT executable cache across sessions
+_GRID_PROGRAMS: dict = {}
+
+
+def _grid_program(edge_searching: bool, aot_dir, act_shape, mask_shape):
+    key = (bool(edge_searching), aot_dir, tuple(act_shape), tuple(mask_shape))
+    fn = _GRID_PROGRAMS.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_displacement_loss_grid,
+                             edge_searching=bool(edge_searching)))
+        if aot_dir:
+            from ..utils import aot
+            c, h, w = act_shape
+            fn = aot.aot_cached(
+                fn, f'det-grid-{c}x{h}x{w}-e{int(edge_searching)}', aot_dir)
+        _GRID_PROGRAMS[key] = fn
+    return fn
 
 
 def generate_possible_shifts(act_shape: Tuple[int, int],
@@ -129,13 +152,14 @@ def generate_periodicity(losses: np.ndarray, shifts: np.ndarray):
 
 def feature_search(activation: np.ndarray, mask: np.ndarray,
                    repeat_range: Tuple[int, int, int] = (3, 6, 1),
-                   edge_searching: bool = True):
+                   edge_searching: bool = True, aot_dir: Optional[str] = None):
     """Loop over hyperparameter range groups on ONE precomputed loss grid
     (reference: feature_searching.py:77-115)."""
     c, h, w = activation.shape
-    grid = np.asarray(displacement_loss_grid(
-        jnp.asarray(activation[:-1], jnp.float32), jnp.asarray(mask, jnp.float32),
-        edge_searching=edge_searching))
+    fn = _grid_program(edge_searching, aot_dir, (c - 1, h, w), (h, w))
+    grid = np.asarray(fn(
+        jnp.asarray(activation[:-1], jnp.float32),
+        jnp.asarray(mask, jnp.float32)))
 
     all_angles, all_periods, all_shifts = [], [], []
     start, end, step = repeat_range
@@ -156,7 +180,7 @@ def feature_search(activation: np.ndarray, mask: np.ndarray,
 
 def search_periodicity_by_feat(img_u8: np.ndarray, mask: np.ndarray,
                                repeat_range=(2, 32, 5), edge_searching=True,
-                               gray_only=True):
+                               gray_only=True, aot_dir=None):
     """Full detection: features -> (edges) -> search -> scale back x4
     (reference: feature_searching.py:158-204)."""
     activation, m = im2act(img_u8, mask, gray_only=gray_only)
@@ -165,7 +189,8 @@ def search_periodicity_by_feat(img_u8: np.ndarray, mask: np.ndarray,
         activation = activation * edge[[0]]
 
     angles, periods, shifts = feature_search(
-        activation, m, repeat_range=repeat_range, edge_searching=edge_searching)
+        activation, m, repeat_range=repeat_range, edge_searching=edge_searching,
+        aot_dir=aot_dir)
 
     ratio = float(np.round(img_u8.shape[0] / activation.shape[1]))
     periods = [[p * ratio for p in ps] for ps in periods]

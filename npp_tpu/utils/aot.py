@@ -78,15 +78,23 @@ def _aval_sig(args) -> str:
     return str(treedef) + '|' + ';'.join(map(str, sig))
 
 
+# config fields that never shape a compiled program (paths / run labels):
+# excluding them lets images that differ only by location share one entry
+_NON_SEMANTIC_CFG = frozenset(
+    {'datadir', 'outdir', 'basedir', 'expname', 'aot_cache_dir'})
+
+
 def _cfg_sig(cfg) -> str:
     if cfg is None:
         return ''
     if dataclasses.is_dataclass(cfg):
         d = dataclasses.asdict(cfg)
     elif isinstance(cfg, dict):
-        d = cfg
+        d = dict(cfg)
     else:
         d = {'repr': repr(cfg)}
+    for k in _NON_SEMANTIC_CFG:
+        d.pop(k, None)
     return json.dumps(d, sort_keys=True, default=repr)
 
 

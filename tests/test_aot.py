@@ -62,6 +62,12 @@ def test_key_discriminates(tmp_path):
     # different cfg
     w_cfg = aot._AotWrapped(f, 'k', str(tmp_path), cfg={'lrate': 1e-3})
     assert w_cfg._key((jnp.zeros((2, 2)),)) != base
+    # non-semantic fields (paths / run labels) must NOT fragment the key
+    w_a = aot._AotWrapped(f, 'k', str(tmp_path),
+                          cfg={'lrate': 1e-3, 'datadir': '/a'})
+    w_b = aot._AotWrapped(f, 'k', str(tmp_path),
+                          cfg={'lrate': 1e-3, 'datadir': '/b'})
+    assert w_a._key((jnp.zeros((2, 2)),)) == w_b._key((jnp.zeros((2, 2)),))
     # stable across instances
     w_same = aot._AotWrapped(f, 'k', str(tmp_path))
     assert w_same._key((jnp.zeros((2, 2)),)) == base
@@ -88,6 +94,48 @@ def test_corrupt_entry_falls_back(tmp_path, monkeypatch):
     w2 = aot._AotWrapped(f, 'c', str(tmp_path), log=logs.append)
     np.testing.assert_array_equal(np.asarray(w2(x)), np.asarray(f(x)))
     assert any('load failed' in m for m in logs)
+
+
+def test_analytic_tower_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """Generated analytic towers persist to $NPP_TPU_AOT_CACHE and reload
+    bit-identically in a 'fresh process' (cleared in-process cache)."""
+    import npp_tpu.nn.pretrained as P
+    from npp_tpu.losses.lpips import LPIPS
+
+    monkeypatch.setenv('NPP_TPU_AOT_CACHE', str(tmp_path))
+    monkeypatch.setattr(P, '_PARAM_CACHE', {})
+    a = jax.tree.leaves(LPIPS(net='alex').params)
+    assert any(f_.startswith('tower-') for f_ in os.listdir(tmp_path))
+    monkeypatch.setattr(P, '_PARAM_CACHE', {})
+    b = jax.tree.leaves(LPIPS(net='alex').params)
+    monkeypatch.delenv('NPP_TPU_AOT_CACHE')
+    monkeypatch.setattr(P, '_PARAM_CACHE', {})
+    c = jax.tree.leaves(LPIPS(net='alex').params)
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+
+
+def test_detection_grid_rides_cache(tmp_path, monkeypatch):
+    """feature_search with aot_dir: the FFT scorer executable is cached on
+    disk, and a fresh program registry reloads it with identical grids."""
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    from npp_tpu.proposal import search_engine as se
+
+    rng = np.random.default_rng(0)
+    act = rng.normal(size=(3, 24, 20)).astype(np.float32)
+    mask = (rng.uniform(size=(24, 20)) > 0.2).astype(np.float32)
+    r1 = se.feature_search(act, mask, repeat_range=(3, 5, 1),
+                           edge_searching=False, aot_dir=str(tmp_path))
+    assert any(f_.startswith('det-grid-') and f_.endswith('.aot')
+               for f_ in os.listdir(tmp_path))
+    monkeypatch.setattr(se, '_GRID_PROGRAMS', {})
+    r2 = se.feature_search(act, mask, repeat_range=(3, 5, 1),
+                           edge_searching=False, aot_dir=str(tmp_path))
+    r3 = se.feature_search(act, mask, repeat_range=(3, 5, 1),
+                           edge_searching=False)
+    np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r2[1]))
+    np.testing.assert_allclose(np.asarray(r1[1]), np.asarray(r3[1]))
 
 
 def test_batched_runner_uses_cache_under_mesh(tmp_path, monkeypatch):
