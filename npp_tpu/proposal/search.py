@@ -4,6 +4,8 @@ odgt record + lattice visualisations consumed by the task pipelines."""
 from __future__ import annotations
 
 import os
+import sys
+import time
 from typing import Optional
 
 import numpy as np
@@ -18,6 +20,17 @@ from .search_engine import search_periodicity_by_feat
 
 def run_search(cfg, percep: Optional[LPIPS] = None,
                contextual: Optional[ContextualLoss] = None) -> dict:
+    t_start = time.time()
+    # Force backend init up front and time it separately: on the shared-pool
+    # relay the first device op waits for the pool GRANT, which varies by
+    # minutes across sessions and would otherwise be misattributed to
+    # detection compute in the phase report below.
+    import jax
+    jax.block_until_ready(jax.jit(lambda a: a + 1.0)(jax.numpy.zeros(())))
+    t_backend = time.time()
+    if t_backend - t_start > 1.0:
+        print(f'[search] backend init {t_backend - t_start:.1f}s',
+              file=sys.stderr, flush=True)
     name = cfg.datadir.rstrip('/').split('/')[-1]
     file_dir = os.path.join(cfg.outdir, name)
     os.makedirs(file_dir, exist_ok=True)
@@ -55,7 +68,9 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
 
     if not all_angles:
         raise RuntimeError(f'no periodicity candidates found for {name}')
-    print(f'[search] {len(all_angles)} candidates detected')
+    t_detect = time.time()
+    print(f'[search] {len(all_angles)} candidates detected '
+          f'({t_detect - t_start:.1f}s)')
 
     # ---- pseudo-mask split (reference: loaders.py:34-54). Computed BEFORE
     # the ranking-canvas pad: find_mask_centroid's separation threshold
@@ -87,6 +102,7 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
         cfg, masked_img, i_train, i_val, all_angles, all_periods, percep,
         contextual, norm_res=(dh, dw), return_components=True)
     scores = combine_scores(cfg, rank_comps)
+    t_rank = time.time()
 
     k = min(cfg.topk_detection, len(distances))
     order = np.argsort(distances, kind='stable')[:k]
@@ -146,5 +162,10 @@ def run_search(cfg, percep: Optional[LPIPS] = None,
     write_rgb(os.path.join(file_dir, 'masked_img.png'), masked_img)
     write_rgb(os.path.join(file_dir, 'gt_img.png'), gt_img)
     write_odgt(file_dir, odgt)
-    print(f'[search] wrote {file_dir}/config.odgt')
+    t_end = time.time()
+    print(f'[search] wrote {file_dir}/config.odgt', flush=True)
+    print(f'[search] phases: backend={t_backend - t_start:.1f}s '
+          f'detect={t_detect - t_backend:.1f}s '
+          f'rank={t_rank - t_detect:.1f}s artefacts={t_end - t_rank:.1f}s '
+          f'total={t_end - t_start:.1f}s', file=sys.stderr, flush=True)
     return odgt

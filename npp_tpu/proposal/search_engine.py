@@ -157,9 +157,16 @@ def feature_search(activation: np.ndarray, mask: np.ndarray,
     (reference: feature_searching.py:77-115)."""
     c, h, w = activation.shape
     fn = _grid_program(edge_searching, aot_dir, (c - 1, h, w), (h, w))
+    import sys
+    import time as _time
+    t0 = _time.time()
     grid = np.asarray(fn(
         jnp.asarray(activation[:-1], jnp.float32),
         jnp.asarray(mask, jnp.float32)))
+    if _time.time() - t0 > 2.0:
+        print(f'[search] FFT grid program {_time.time() - t0:.1f}s '
+              f'(compile/dispatch; steady-state is ms)',
+              file=sys.stderr, flush=True)
 
     all_angles, all_periods, all_shifts = [], [], []
     start, end, step = repeat_range
