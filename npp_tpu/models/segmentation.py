@@ -112,6 +112,30 @@ def overlay(img: np.ndarray, non_period_mask: np.ndarray,
     return vis * valid_mask
 
 
+def save_refinement(save_dir: str, i: int, data, pred: np.ndarray,
+                    res: Dict[str, np.ndarray]) -> None:
+    """Write the per-eval artifact set (reference: NPP_segmentation/
+    train.py:357,390,398-406) — shared by the sequential eval_hook and the
+    batched suite path."""
+    d = os.path.join(save_dir, f'testset_{i:06d}')
+    write_gray(os.path.join(d, 'l1_diff_img.png'), res['l1_img'])
+    # inverted threshold masks, matching the reference's
+    # ~l1_img_mask / ~lpips_img_mask_i saves (train.py:357,390)
+    write_gray(os.path.join(d, 'l1_img_mask.png'),
+               (~res['l1_mask']).astype(np.float64))
+    for j, lp in enumerate(res['lpips_maps']):
+        write_gray(os.path.join(d, f'lpips_diff_img_{j}.png'),
+                   np.clip(lp, 0, 1))
+        write_gray(os.path.join(d, f'lpips_img_mask_{j}.png'),
+                   (~res['lpips_masks'][j]).astype(np.float64))
+    oh, ow = data.orig_shape
+    write_rgb(os.path.join(d, 'segment.png'),
+              overlay(data.img[:oh, :ow], res['non_period_mask'],
+                      data.valid_mask[:oh, :ow]))
+    write_rgb(os.path.join(d, 'pred_rgb_img.png'),
+              (pred * data.valid_mask)[:oh, :ow])
+
+
 def run_segmentation(cfg, save: bool = True):
     data = load_segmentation(cfg)
     name = cfg.datadir.rstrip('/').split('/')[-1]
@@ -133,23 +157,7 @@ def run_segmentation(cfg, save: bool = True):
         frac = float(res['non_period_mask'].mean())
         print(f"[segmentation] eval@{i}: non-periodic fraction={frac:.3f}")
         if save:
-            d = os.path.join(save_dir, f'testset_{i:06d}')
-            write_gray(os.path.join(d, 'l1_diff_img.png'), res['l1_img'])
-            # inverted threshold masks, matching the reference's
-            # ~l1_img_mask / ~lpips_img_mask_i saves (train.py:357,390)
-            write_gray(os.path.join(d, 'l1_img_mask.png'),
-                       (~res['l1_mask']).astype(np.float64))
-            for j, lp in enumerate(res['lpips_maps']):
-                write_gray(os.path.join(d, f'lpips_diff_img_{j}.png'),
-                           np.clip(lp, 0, 1))
-                write_gray(os.path.join(d, f'lpips_img_mask_{j}.png'),
-                           (~res['lpips_masks'][j]).astype(np.float64))
-            oh, ow = data.orig_shape
-            write_rgb(os.path.join(d, 'segment.png'),
-                      overlay(data.img[:oh, :ow], res['non_period_mask'],
-                              data.valid_mask[:oh, :ow]))
-            write_rgb(os.path.join(d, 'pred_rgb_img.png'),
-                      (pred * data.valid_mask)[:oh, :ow])
+            save_refinement(save_dir, i, data, pred, res)
 
     result = fit_image(cfg, SEGMENTATION_TASK, data, eval_hook=eval_hook,
                        log_every=cfg.i_print)

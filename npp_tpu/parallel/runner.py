@@ -41,6 +41,9 @@ def pad_to_canvas(data: TaskData, h: int, w: int) -> TaskData:
     extra = {k: (pad_img(v) if isinstance(v, np.ndarray) and v.ndim == 3
                  and v.shape[:2] == (oh, ow) else v)
              for k, v in data.extra.items()}
+    # keep the loader's original dims if present; otherwise the pre-pad
+    # dims ARE the original (outputs crop back with data.orig_shape)
+    extra.setdefault('orig_shape', (oh, ow))
     return dataclasses.replace(
         data, img=pad_img(data.img), masked_img=pad_img(data.masked_img),
         mask=pad_img(data.mask), valid_mask=pad_img(data.valid_mask),
@@ -262,8 +265,14 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                 state, _ = step_one(state, emb_b, consts, k)
                 i += 1
         jax.block_until_ready(state.params)
+        # per-image states go back as HOST numpy: a slice of the sharded
+        # batch stays committed to the images-mesh devices, which a
+        # downstream program on a different mesh (e.g. the 1-device render
+        # mesh in run_suite --batched) rejects as an incompatible-devices
+        # error; uncommitted host arrays transfer wherever they're used
         for j, i in enumerate(idxs):
-            results[i] = jax.tree.map(lambda x, jj=j: x[jj], state)
+            results[i] = jax.tree.map(lambda x, jj=j: np.asarray(x[jj]),
+                                      state)
             ctxs[i] = {'model': model, 'embedder': embedders[j],
                        'canvas': (h, w), 'cfg': bcfg}
     if return_ctx:

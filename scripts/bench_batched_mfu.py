@@ -1,0 +1,97 @@
+"""Aggregate-MFU scaling of the images-axis batched runner on ONE chip.
+
+BASELINE.md's roofline reading: the single-image flagship step is
+VPU/HBM-phase dominated (11.2% MFU), and batching fills one image's
+elementwise phases with another's matmuls (25.4% at B=3). This script
+measures that curve: fit B identical copies of bench.py's synthetic
+flagship image via parallel.runner.fit_images for B in --batch-sizes and
+report aggregate image-iters/s, achieved TFLOPS and MFU per B.
+
+Method: per B, one short warmup call pays compile (or loads the AOT cache
+when $NPP_TPU_AOT_CACHE is set), then one long timed call whose programs
+load from the in-process jit cache... they do NOT (fit_images rebuilds its
+closures per call), so the timed call rides the AOT executable cache —
+load cost is seconds and is amortised by --iters. Every measurement prints
+to stderr immediately (relay rule).
+
+Usage: python scripts/bench_batched_mfu.py [--batch-sizes 1,3,5,6] [--iters 600]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch-sizes', default='1,3,5,6')
+    ap.add_argument('--iters', type=int, default=600)
+    ap.add_argument('--warmup-iters', type=int, default=50)
+    ap.add_argument('--aot-dir', default='/tmp/npp_bench_mfu_aot')
+    a = ap.parse_args()
+
+    import jax
+    import bench
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+
+    cfg = replace(CompletionConfig(), aot_cache_dir=a.aot_dir)
+    data = bench._synthetic_data(cfg)
+    dev = jax.devices()[0]
+    peak = bench.peak_bf16_flops(dev.device_kind)
+
+    # analytic FLOPs/step for one image (identical config to bench.py)
+    from npp_tpu.models.pipeline import build_components
+    comps = build_components(cfg, data, COMPLETION_TASK)
+    from npp_tpu.models.trainer import init_fit_state
+    state, _ = init_fit_state(cfg, COMPLETION_TASK, comps.model,
+                              comps.embedder, jax.random.PRNGKey(0),
+                              comps.percep, comps.style)
+    # raw FLOPs (bench.analytic_flops_per_step returns FLOPs, not GFLOPs)
+    flops_step = bench.analytic_flops_per_step(cfg, state.params['mlp'])['total']
+    print(f'[mfu] device={dev.device_kind} peak={peak / 1e12:.0f} TFLOPS '
+          f'flops/img-step={flops_step / 1e9:.1f} GFLOP',
+          file=sys.stderr, flush=True)
+
+    mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    rows = []
+    for b in [int(x) for x in a.batch_sizes.split(',')]:
+        datas = [data] * b
+        try:
+            t0 = time.time()
+            fit_images(cfg, COMPLETION_TASK, datas, n_iters=a.warmup_iters,
+                       mesh=mesh, canvas_multiple=64, block=a.warmup_iters)
+            warm_s = time.time() - t0
+            print(f'[mfu] B={b} warmup(compile/load) {warm_s:.1f}s',
+                  file=sys.stderr, flush=True)
+            t0 = time.time()
+            fit_images(cfg, COMPLETION_TASK, datas, n_iters=a.iters,
+                       mesh=mesh, canvas_multiple=64, block=50)
+            wall = time.time() - t0
+        except Exception as e:
+            print(f'[mfu] B={b} FAILED: {e!r}', file=sys.stderr, flush=True)
+            rows.append({'B': b, 'error': repr(e)})
+            continue
+        agg_ips = b * a.iters / wall
+        achieved = agg_ips * flops_step
+        row = {'B': b, 'wall_s': round(wall, 1),
+               'aggregate_image_iters_per_sec': round(agg_ips, 2),
+               'achieved_tflops': round(achieved / 1e12, 2),
+               'mfu': round(achieved / peak, 4)}
+        rows.append(row)
+        print(f'[mfu] {row}', file=sys.stderr, flush=True)
+
+    print(json.dumps({'iters': a.iters, 'device': dev.device_kind,
+                      'flops_per_image_step_gflop': round(flops_step / 1e9, 1),
+                      'rows': rows}))
+
+
+if __name__ == '__main__':
+    main()

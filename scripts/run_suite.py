@@ -39,11 +39,11 @@ def main():
                          'fixed-top-K) for segmentation/remapping; an '
                          'explicit value applies to every task')
     ap.add_argument('--batched', action='store_true',
-                    help='completion: fit all images CONCURRENTLY via the '
+                    help='fit each task\'s images CONCURRENTLY via the '
                          'images-axis SPMD runner (parallel.runner.'
                          'fit_images) instead of sequentially — per-image '
-                         'aux gating rides the batch via top-1 proposal '
-                         'padding')
+                         'aux gating rides the bucket keys; post-fit '
+                         'eval/refinement runs host-side per image')
     ap.add_argument('--comp-seam', default='none',
                     choices=['none', 'residual'],
                     help="completion compositing: 'residual' = seam-aware "
@@ -52,6 +52,10 @@ def main():
                     choices=['reference', 'window', 'mse', 'heldout_mse'],
                     help='ranking proxy objective for the searches '
                          '(default: SearchConfig.rank_proxy)')
+    ap.add_argument('--rank-iters', type=int, default=None,
+                    help='override the ranking lockstep-fit budget '
+                         '(SearchConfig.N_iters, reference 300) — mainly '
+                         'for fast CPU drives')
     ap.add_argument('--aot-cache', default=os.environ.get(
                         'NPP_TPU_AOT_CACHE', ''),
                     help='directory for serialized compiled executables '
@@ -116,7 +120,7 @@ def main():
             n for n in os.listdir(in_dir)
             if os.path.exists(os.path.join(in_dir, n, 'gt_img.png')))
         summary['tasks'][task] = {}
-        batched = args.batched and task == 'completion'
+        batched = args.batched
         pending = []
 
         for name in examples:
@@ -130,6 +134,8 @@ def main():
                                canvas_override=global_canvas)
                 if args.rank_proxy:
                     scfg = replace(scfg, rank_proxy=args.rank_proxy)
+                if args.rank_iters:
+                    scfg = replace(scfg, N_iters=args.rank_iters)
                 t0 = time.time()
                 with timer.phase(f'search/{task}'):
                     from npp_tpu.proposal.search import run_search
@@ -151,8 +157,13 @@ def main():
                               N_iters=max(2, int(cfg.N_iters * args.iters_scale)),
                               i_testset=max(1, int(cfg.i_testset * args.iters_scale)))
             if batched:
-                from npp_tpu.models.loaders import load_completion
-                pending.append((name, rec, cfg, load_completion(cfg)))
+                from npp_tpu.models.loaders import (load_completion,
+                                                    load_remapping,
+                                                    load_segmentation)
+                loader = {'completion': load_completion,
+                          'segmentation': load_segmentation,
+                          'remapping': load_remapping}[task]
+                pending.append((name, rec, cfg, loader(cfg)))
                 continue
             t0 = time.time()
             with timer.phase(f'fit/{task}'):
@@ -180,27 +191,35 @@ def main():
         if batched and pending:
             import jax
             import jax.numpy as jnp
-            from npp_tpu.models.completion import COMPLETION_TASK, evaluate
             from npp_tpu.parallel.batch import make_sharded_render
             from npp_tpu.parallel.mesh import make_mesh
             from npp_tpu.parallel.runner import fit_images, pad_to_canvas
+            if task == 'completion':
+                from npp_tpu.models.completion import COMPLETION_TASK
+                tspec = COMPLETION_TASK
+            elif task == 'segmentation':
+                from npp_tpu.models.segmentation import SEGMENTATION_TASK
+                tspec = SEGMENTATION_TASK
+            else:
+                from npp_tpu.models.remapping import REMAPPING_TASK
+                tspec = REMAPPING_TASK
             cfg0 = pending[0][2]
             datas = [p[3] for p in pending]
             # unify the canvas bucket: images only fit CONCURRENTLY when
             # they share (canvas, patch_size), so round every image up to
-            # the suite's largest dimension (the fit cost is N_rand-bound,
+            # the task's largest dimension (the fit cost is N_rand-bound,
             # not canvas-bound; the pad region is invalid)
             cm = max(-(-max(d.img.shape[:2]) // 64) * 64 for d in datas)
             t0 = time.time()
-            with timer.phase('fit_batched/completion'):
-                states, ctxs = fit_images(cfg0, COMPLETION_TASK, datas,
+            with timer.phase(f'fit_batched/{task}'):
+                states, ctxs = fit_images(cfg0, tspec, datas,
                                           n_iters=cfg0.N_iters - 1,
                                           canvas_multiple=cm,
                                           return_ctx=True)
             wall = time.time() - t0
             n_img = len(pending)
             agg = n_img * (cfg0.N_iters - 1) / max(wall, 1e-9)
-            print(f'[suite] batched completion: {n_img} images in '
+            print(f'[suite] batched {task}: {n_img} images in '
                   f'{wall:.1f}s ({agg:.1f} aggregate image-iters/s)')
             # ONE render executable for every image: the embedder (incl.
             # its per-image normalisation dims) is an ARGUMENT of the
@@ -208,6 +227,7 @@ def main():
             # make_render closures would each recompile through the relay
             pmesh = make_mesh(('pixels',), (1,), devices=jax.devices()[:1])
             renders = {}
+            lpips_alex = None
             for (name, rec, cfg_i, data), st, ctx in zip(pending, states,
                                                          ctxs):
                 data_b = pad_to_canvas(data, *ctx['canvas'])
@@ -220,17 +240,49 @@ def main():
                 def render(params, hh, ww, _r=srender, _e=ctx['embedder']):
                     return _r(params, _e, hh, ww)
 
-                final = evaluate(data_b, st.params, render,
-                                 st.params['adaptive_pix'], cfg_i.loss_type,
-                                 comp_seam=args.comp_seam)
-                comp = jnp.asarray(final['pred_rgb_img_comp'],
-                                   jnp.float32)[None]
-                oh, ow = data_b.orig_shape
-                gt = jnp.asarray((data_b.img * data_b.valid_mask)[:oh, :ow],
-                                 jnp.float32)[None]
-                final['val_lpips'] = float(jnp.mean(
-                    percep(comp, gt, normalize=True)))
-                rec.update({k: round(float(v), 3)
+                if task == 'completion':
+                    from npp_tpu.models.completion import evaluate
+                    final = evaluate(data_b, st.params, render,
+                                     st.params['adaptive_pix'],
+                                     cfg_i.loss_type,
+                                     comp_seam=args.comp_seam)
+                    comp = jnp.asarray(final['pred_rgb_img_comp'],
+                                       jnp.float32)[None]
+                    oh, ow = data_b.orig_shape
+                    gt = jnp.asarray(
+                        (data_b.img * data_b.valid_mask)[:oh, :ow],
+                        jnp.float32)[None]
+                    final['val_lpips'] = float(jnp.mean(
+                        percep(comp, gt, normalize=True)))
+                elif task == 'segmentation':
+                    from npp_tpu.losses.lpips import LPIPS
+                    from npp_tpu.models.segmentation import (refine_segmentation,
+                                                             save_refinement)
+                    if lpips_alex is None:
+                        lpips_alex = LPIPS(net='alex')
+                    hh, ww = ctx['canvas']
+                    pred = np.asarray(render(st.params, hh, ww))
+                    res = refine_segmentation(cfg_i, data_b, pred,
+                                              lpips_alex)
+                    save_dir = os.path.join(
+                        cfg_i.basedir, f'{cfg_i.expname}_top{cfg_i.p_topk}',
+                        name)
+                    from npp_tpu.utils.io import write_gray
+                    oh, ow = data_b.orig_shape
+                    write_gray(
+                        os.path.join(save_dir, 'segment_init.png'),
+                        (data_b.extra['non_period_mask'] > 0
+                         ).astype(np.float64)[:oh, :ow])
+                    save_refinement(save_dir, cfg_i.N_iters - 1, data_b,
+                                    pred, res)
+                    final = {'non_periodic_fraction':
+                             float(res['non_period_mask'].mean())}
+                else:
+                    from npp_tpu.models.remapping import evaluate
+                    final = evaluate(data_b, st.params, render,
+                                     st.params['adaptive_pix'],
+                                     cfg_i.loss_type)
+                rec.update({k: round(float(v), 4)
                             for k, v in final.items() if np.isscalar(v)})
                 rec['fit_s_batched_total'] = round(wall, 1)
                 rec['aggregate_image_iters_per_sec'] = round(agg, 2)

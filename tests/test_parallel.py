@@ -393,3 +393,80 @@ def test_fit_images_chain_matches_sequential_fit_image():
                     jax.tree.leaves(bat.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_fit_images_segmentation_refine_and_remapping_eval():
+    """The batched suite path for the OTHER two tasks (run_suite --batched,
+    round 3): fit_images with SEGMENTATION_TASK / REMAPPING_TASK on the
+    virtual mesh, then the host-side post-fit stage each task needs —
+    refine_segmentation on the rendered batched params, and
+    remapping.evaluate with the adaptive pixel state."""
+    import dataclasses
+    from npp_tpu.config import RemappingConfig, SegmentationConfig, replace
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.models.remapping import REMAPPING_TASK
+    from npp_tpu.models.remapping import evaluate as remap_evaluate
+    from npp_tpu.models.segmentation import (SEGMENTATION_TASK,
+                                             refine_segmentation)
+    from npp_tpu.parallel.batch import make_sharded_render
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images, pad_to_canvas
+    from tests.test_trainer import tiny_data
+
+    # --- segmentation: 2 images, one bucket, fit + refine ---
+    cfg = replace(SegmentationConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  N_iters=5, i_testset=4, i_print=4)
+    datas = []
+    for hw in ((40, 48), (36, 44)):
+        d = dataclasses.replace(tiny_data(*hw), patch_size=16)
+        blur = d.img.copy()
+        non_period = (1 - d.mask)
+        d = dataclasses.replace(
+            d, masked_img=blur,
+            extra={'blur_img': blur, 'non_period_mask': non_period})
+        datas.append(d)
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+    states, ctxs = fit_images(cfg, SEGMENTATION_TASK, datas, mesh=mesh,
+                              canvas_multiple=16, return_ctx=True)
+    # render on a DIFFERENT (1-device) mesh than the 2-device fit — the
+    # run_suite --batched scenario; fails if fit_images returns states
+    # still committed to the images mesh
+    pmesh = make_mesh(('pixels',), (1,), devices=jax.devices()[:1])
+    lpips_alex = LPIPS(net='alex')
+    for d, st, ctx in zip(datas, states, ctxs):
+        d_b = pad_to_canvas(d, *ctx['canvas'])
+        srender = make_sharded_render(ctx['cfg'], ctx['model'], pmesh,
+                                      chunk=1 << 8)
+        pred = np.asarray(srender(st.params, ctx['embedder'],
+                                  *ctx['canvas']))
+        res = refine_segmentation(cfg, d_b, pred, lpips_alex)
+        oh, ow = d.img.shape[:2]
+        assert res['non_period_mask'].shape == (oh, ow, 1)
+        frac = float(res['non_period_mask'].mean())
+        assert np.isfinite(frac) and 0.0 <= frac <= 1.0
+
+    # --- remapping: 1 image, fit + evaluate (clear-mask pixel masking) ---
+    rcfg = replace(RemappingConfig(), netwidth=32, netdepth=2, N_rand=32,
+                   patch_num=1, num_real_patch_per_sample=2,
+                   use_perceptual_loss=False, use_contextual_loss=False,
+                   use_style_loss=False, N_iters=5, i_testset=4, i_print=4)
+    rd = dataclasses.replace(tiny_data(40, 48), patch_size=16)
+    mesh1 = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    (st,), (ctx,) = fit_images(rcfg, REMAPPING_TASK, [rd], mesh=mesh1,
+                               canvas_multiple=16, return_ctx=True)
+    d_b = pad_to_canvas(rd, *ctx['canvas'])
+    pmesh1 = make_mesh(('pixels',), (1,), devices=jax.devices()[:1])
+    srender = make_sharded_render(ctx['cfg'], ctx['model'], pmesh1,
+                                  chunk=1 << 8)
+
+    def render(params, hh, ww):
+        return srender(params, ctx['embedder'], hh, ww)
+
+    final = remap_evaluate(d_b, st.params, render,
+                           st.params['adaptive_pix'], rcfg.loss_type)
+    assert np.isfinite(final['train_psnr'])
+    assert np.isfinite(final['val_psnr'])
+    oh, ow = rd.img.shape[:2]
+    assert final['pred_rgb_img'].shape == (oh, ow, 3)
