@@ -174,6 +174,11 @@ class SearchConfig(BaseConfig):
     #   'reference' | 'window' | 'mse' | 'heldout_mse'
     rank_proxy: str = "reference"
     rank_pix_weight: float = 1.0   # log10(MSE) weight in 'heldout_mse'
+    # TPU-repo addition (default off = reference behaviour): exclude feature
+    # positions outside the held-out region from the bbox CX match, so the
+    # crop_bucket zero expansion cannot rescale near-tie candidate distances
+    # through the CX normalisation (losses/contextual.py spatial_mask).
+    cx_mask_pad: bool = False
 
 
 @dataclass(frozen=True)

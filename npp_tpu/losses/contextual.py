@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..nn.features import (VGG19_BLOCKS, VGG19_CX_TAP, VGGFeatures,
@@ -17,11 +18,22 @@ from ..nn.features import (VGG19_BLOCKS, VGG19_CX_TAP, VGGFeatures,
 from ..nn.pretrained import load_tower_params
 
 
-def compute_cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def compute_cosine_distance(x: jnp.ndarray, y: jnp.ndarray,
+                            feat_valid: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
     """x, y: (N, H, W, C) -> dist (N, HW_x, HW_y)
-    (reference: functional.py:127-163)."""
+    (reference: functional.py:127-163).
+
+    feat_valid: optional (N, H, W) mask — the mean-shift statistic is then
+    computed over valid positions only, so pad features cannot shift the
+    cosine geometry of the valid ones."""
     # mean-shift by channel-wise mean of y over batch+space
-    y_mu = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
+    if feat_valid is not None:
+        v = feat_valid[..., None].astype(y.dtype)
+        y_mu = (jnp.sum(y * v, axis=(0, 1, 2), keepdims=True)
+                / jnp.maximum(jnp.sum(v, axis=(0, 1, 2), keepdims=True), 1.0))
+    else:
+        y_mu = jnp.mean(y, axis=(0, 1, 2), keepdims=True)
     xc = x - y_mu
     yc = y - y_mu
     xn = xc / (jnp.linalg.norm(xc, axis=-1, keepdims=True) + 1e-12)
@@ -70,24 +82,46 @@ def compute_cx(dist_tilde: jnp.ndarray, band_width: float) -> jnp.ndarray:
 def contextual_loss(x: jnp.ndarray, y: jnp.ndarray, band_width: float = 0.5,
                     weight: Optional[jnp.ndarray] = None,
                     loss_type: str = 'cosine',
-                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    valid: Optional[jnp.ndarray] = None,
+                    feat_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """CX loss on feature maps (NHWC) (reference: functional.py:9-63).
 
     valid: optional (N,) bool — static-shape replacement for the reference's
     ragged patch drops: invalid samples contribute 0 and the unweighted
     aggregation becomes a masked mean over the survivors.
+
+    feat_valid: optional (N, H, W) position mask, applied to BOTH x and y
+    (the use case is aligned same-region crops). Invalid positions are
+    excluded from the match entirely: they cannot be matched to (their
+    distance is pushed out of the relative-distance min and the softmax),
+    cannot win the per-target max, and are dropped from the final mean.
+    With feature maps that were zero-padded spatially, the loss over the
+    valid region is then independent of the pad extent (up to boundary
+    receptive fields of the feature extractor).
     """
     if loss_type == 'cosine':
-        dist_raw = compute_cosine_distance(x, y)
+        dist_raw = compute_cosine_distance(x, y, feat_valid)
     elif loss_type == 'l1':
         dist_raw = compute_l1_distance(x, y)
     elif loss_type == 'l2':
         dist_raw = compute_l2_distance(x, y)
     else:
         raise ValueError(f'unsupported loss_type {loss_type!r}')
+    if feat_valid is not None:
+        fv = feat_valid.reshape(feat_valid.shape[0], -1)  # (N, P)
+        fvd = fv.astype(dist_raw.dtype)
+        # invalid target columns: never the min, softmax weight exp(-big)=0
+        dist_raw = jnp.where(fv[:, None, :] > 0, dist_raw,
+                             jnp.asarray(1e9, dist_raw.dtype))
     dist_tilde = compute_relative_distance(dist_raw)
     cx = compute_cx(dist_tilde, band_width)
-    cx = jnp.mean(jnp.max(cx, axis=1), axis=1)  # (N,)
+    if feat_valid is not None:
+        # invalid source rows can't win the max (softmax weights are >= 0);
+        # masked mean over valid target positions
+        cx = jnp.max(cx * fvd[:, :, None], axis=1)           # (N, Q)
+        cx = jnp.sum(cx * fvd, axis=1) / jnp.maximum(jnp.sum(fvd, 1), 1.0)
+    else:
+        cx = jnp.mean(jnp.max(cx, axis=1), axis=1)  # (N,)
     if weight is not None:
         term = -jnp.log(cx * weight + 1e-5)
         if valid is not None:
@@ -116,10 +150,25 @@ class ContextualLoss:
 
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray,
                  weight: Optional[jnp.ndarray] = None,
-                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 valid: Optional[jnp.ndarray] = None,
+                 spatial_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """spatial_mask: optional (N, H, W, 1) image-resolution mask of REAL
+        content; feature positions with (approximately) no overlap with it
+        are excluded from the CX match — used by the proposal ranking to
+        keep bucketed zero-pad crop area out of the score
+        (cfg.cx_mask_pad; round-2 advisor finding on crop_bucket)."""
         if self.use_vgg:
             x = self.module.apply({'params': self.params},
                                   imagenet_normalize(x))[self.vgg_layer]
             y = self.module.apply({'params': self.params},
                                   imagenet_normalize(y))[self.vgg_layer]
-        return contextual_loss(x, y, self.band_width, weight, valid=valid)
+        feat_valid = None
+        if spatial_mask is not None:
+            n, fh, fw = x.shape[0], x.shape[1], x.shape[2]
+            frac = jax.image.resize(
+                spatial_mask.astype(jnp.float32),
+                (spatial_mask.shape[0], fh, fw, 1), method='linear')
+            feat_valid = jnp.broadcast_to(
+                (frac[..., 0] > 1e-3).astype(jnp.float32), (n, fh, fw))
+        return contextual_loss(x, y, self.band_width, weight, valid=valid,
+                               feat_valid=feat_valid)

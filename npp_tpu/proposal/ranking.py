@@ -213,10 +213,18 @@ def _rank_programs(cfg, statics, percep: LPIPS, contextual: ContextualLoss,
             pred_crop = crop(pred)[None]
             comp_crop = (ctx_crop * (1.0 - val_in_crop) +
                          pred_crop[0] * val_in_crop)[None]
+            # cx_mask_pad: exclude feature positions outside the held-out
+            # region from the bbox CX match — the bucketed crop's zero
+            # expansion then cannot rescale near-tie distances through the
+            # CX normalisation (round-2 advisor finding). The comp scores
+            # need no mask: their crop is fully real content.
+            cx_mask = val_in_crop[None] \
+                if getattr(cfg, 'cx_mask_pad', False) else None
             return {
                 'lpips_bbox': jnp.mean(percep(pred_crop, gt_crop,
                                               use_robust=False)),
-                'cx_bbox': contextual(pred_crop, gt_crop),
+                'cx_bbox': contextual(pred_crop, gt_crop,
+                                      spatial_mask=cx_mask),
                 'lpips_comp': jnp.mean(percep(comp_crop, ctx_crop[None],
                                               use_robust=False)),
                 'cx_comp': contextual(comp_crop, ctx_crop[None]),

@@ -7,11 +7,11 @@ measures that curve: fit B identical copies of bench.py's synthetic
 flagship image via parallel.runner.fit_images for B in --batch-sizes and
 report aggregate image-iters/s, achieved TFLOPS and MFU per B.
 
-Method: per B, one short warmup call pays compile (or loads the AOT cache
-when $NPP_TPU_AOT_CACHE is set), then one long timed call whose programs
-load from the in-process jit cache... they do NOT (fit_images rebuilds its
-closures per call), so the timed call rides the AOT executable cache —
-load cost is seconds and is amortised by --iters. Every measurement prints
+Method: per B, one short warmup call compiles the batched programs and
+populates the AOT executable cache (--aot-dir), then one long timed call
+measures. fit_images rebuilds its closures per call, so the timed call's
+program acquisition goes through the AOT cache (seconds, amortised by
+--iters) rather than the in-process jit cache. Every measurement prints
 to stderr immediately (relay rule).
 
 Usage: python scripts/bench_batched_mfu.py [--batch-sizes 1,3,5,6] [--iters 600]

@@ -121,6 +121,27 @@ def test_contextual_weighted_matches_reference_semantics(imgs):
     assert np.isfinite(float(out))
 
 
+def test_contextual_feat_valid_excludes_pad_exactly():
+    """With feat_valid marking the tight region, the CX loss over
+    zero-padded feature maps equals the tight-map loss exactly (the pad
+    positions leave the match, the relative-distance min, the softmax and
+    the mean); without the mask the pad rescales it."""
+    from npp_tpu.losses.contextual import contextual_loss
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 6, 7, 8)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 6, 7, 8)).astype(np.float32))
+    tight = contextual_loss(x, y)
+
+    xp = jnp.pad(x, ((0, 0), (0, 4), (0, 5), (0, 0)))
+    yp = jnp.pad(y, ((0, 0), (0, 4), (0, 5), (0, 0)))
+    fv = np.zeros((2, 10, 12), np.float32)
+    fv[:, :6, :7] = 1.0
+    masked = contextual_loss(xp, yp, feat_valid=jnp.asarray(fv))
+    unmasked = contextual_loss(xp, yp)
+    np.testing.assert_allclose(float(masked), float(tight), rtol=1e-5)
+    assert abs(float(unmasked) - float(tight)) > 1e-3
+
+
 def test_style_loss_zero_on_identical(imgs):
     from npp_tpu.losses.style import StyleLoss
     a, b = imgs
