@@ -18,8 +18,8 @@ COMPLETION_TASK = TaskSpec(name='completion')
 
 
 def seam_residual_correction(pred: np.ndarray, masked: np.ndarray,
-                             known: np.ndarray, hole: np.ndarray
-                             ) -> np.ndarray:
+                             known: np.ndarray, hole: np.ndarray,
+                             value_range: float = 1.0) -> np.ndarray:
     """Diffuse the known-region render error into the hole and return the
     corrected prediction (cfg.comp_seam='residual'; no reference
     equivalent — the reference pastes the raw render into the hole,
@@ -30,25 +30,39 @@ def seam_residual_correction(pred: np.ndarray, masked: np.ndarray,
     error at the hole boundary — the composite becomes C0-continuous with
     the known content, TELEA's one PSNR advantage — and (b) removes
     low-frequency tint/phase offset inside the hole while preserving the
-    INR's lattice texture."""
+    INR's lattice texture.
+
+    value_range: the image value range is [0, value_range] shifted to be
+    symmetric — i.e. residuals span [-value_range, value_range] and are
+    quantized into uint8 over that span for the cv2 round-trip. Pass 2.0
+    for normalize_type=2 ([-1,1] tanh images), else the default 1.0."""
     import cv2
+    scale = 127.5 / float(value_range)
     err = np.where(known[..., None] > 0.5, masked - pred, 0.0)
-    err_u8 = np.uint8(np.clip(err * 127.5 + 127.5, 0, 255))
+    err_u8 = np.uint8(np.clip(err * scale + 127.5, 0, 255))
     hole_u8 = np.uint8(hole * 255)
     filled = cv2.inpaint(err_u8, hole_u8, 3, cv2.INPAINT_NS)
-    err_filled = (filled.astype(np.float64) - 127.5) / 127.5
+    err_filled = (filled.astype(np.float64) - 127.5) / scale
     return np.where(hole[..., None] > 0.5, pred + err_filled, pred)
 
 
 def evaluate(data, params, render, adaptive_pix, loss_type: str,
-             comp_seam: str = 'none') -> Dict[str, np.ndarray]:
+             comp_seam: str = 'none', normalize_type: int = 1,
+             compute_seam: bool = None) -> Dict[str, np.ndarray]:
     """Render and compose the reference's output set
     (reference: NPP_completion/train.py:270-331), plus PSNR metrics.
 
-    The seam-corrected composite (see seam_residual_correction) is always
-    computed alongside as 'pred_rgb_img_comp_seam' with its 'val_psnr_seam'
-    metric; comp_seam='residual' additionally makes it the primary
-    'pred_rgb_img_comp' output."""
+    The seam-corrected composite (see seam_residual_correction) is emitted
+    as 'pred_rgb_img_comp_seam' with its 'val_psnr_seam' metric;
+    comp_seam='residual' additionally makes it the primary
+    'pred_rgb_img_comp' output. compute_seam controls whether the seam
+    outputs are produced at all (a host-side cv2 inpaint of the full
+    canvas): default None computes them only when comp_seam='residual' —
+    final/suite evals pass True so the diagnostic artifacts and seam
+    metrics always exist there, while per-i_testset eval hooks skip the
+    host stall."""
+    if compute_seam is None:
+        compute_seam = comp_seam == 'residual'
     h, w = data.img.shape[:2]
     pred = render(params, h, w)                       # (H, W, 3)
     mask = jnp.asarray(data.mask, jnp.float32)
@@ -60,16 +74,6 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str,
     val_img = pred * (1.0 - mask) * valid
     comp = val_img + masked * mask
 
-    # seam-aware residual-corrected prediction (host-side, one cv2 call)
-    pred_np = np.asarray(pred, np.float64)
-    known_np = np.asarray((data.mask * data.valid_mask)[..., 0])
-    hole_np = np.asarray(((1 - data.mask) * data.valid_mask)[..., 0])
-    pred_seam = seam_residual_correction(
-        pred_np, np.asarray(data.masked_img, np.float64), known_np, hole_np)
-    comp_seam_img = (pred_seam * (1.0 - np.asarray(data.mask)) *
-                     np.asarray(data.valid_mask) +
-                     np.asarray(data.masked_img) * np.asarray(data.mask))
-
     tc = data.i_train
     vc = data.i_val
     oh, ow = data.orig_shape
@@ -78,10 +82,22 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str,
         'pred_rgb_val_img': np.asarray(val_img)[:oh, :ow],
         'pred_rgb_img': np.asarray(pred * valid)[:oh, :ow],
         'pred_rgb_img_comp': np.asarray(comp)[:oh, :ow],
-        'pred_rgb_img_comp_seam': comp_seam_img[:oh, :ow],
     }
-    if comp_seam == 'residual':
-        out['pred_rgb_img_comp'] = out['pred_rgb_img_comp_seam']
+    pred_seam = None
+    if compute_seam:
+        # seam-aware residual-corrected prediction (host-side cv2 inpaint)
+        pred_np = np.asarray(pred, np.float64)
+        known_np = np.asarray((data.mask * data.valid_mask)[..., 0])
+        hole_np = np.asarray(((1 - data.mask) * data.valid_mask)[..., 0])
+        pred_seam = seam_residual_correction(
+            pred_np, np.asarray(data.masked_img, np.float64), known_np,
+            hole_np, value_range=2.0 if normalize_type == 2 else 1.0)
+        comp_seam_img = (pred_seam * (1.0 - np.asarray(data.mask)) *
+                         np.asarray(data.valid_mask) +
+                         np.asarray(data.masked_img) * np.asarray(data.mask))
+        out['pred_rgb_img_comp_seam'] = comp_seam_img[:oh, :ow]
+        if comp_seam == 'residual':
+            out['pred_rgb_img_comp'] = out['pred_rgb_img_comp_seam']
     if len(tc):
         pt = pred[tc[:, 0], tc[:, 1]]
         gt = masked[tc[:, 0], tc[:, 1]]
@@ -92,10 +108,11 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str,
         gv = img[vc[:, 0], vc[:, 1]]
         out['img_val_loss'] = float(img2mse(pv, gv, loss_type, adaptive_pix))
         out['val_psnr'] = float(mse2psnr(jnp.mean((pv - gv) ** 2)))
-        pv_seam = pred_seam[vc[:, 0], vc[:, 1]]
-        gv_np = np.asarray(gv)
-        out['val_psnr_seam'] = float(mse2psnr(
-            jnp.asarray(np.mean((pv_seam - gv_np) ** 2))))
+        if pred_seam is not None:
+            pv_seam = pred_seam[vc[:, 0], vc[:, 1]]
+            gv_np = np.asarray(gv)
+            out['val_psnr_seam'] = float(mse2psnr(
+                jnp.asarray(np.mean((pv_seam - gv_np) ** 2))))
     return out
 
 
@@ -109,9 +126,15 @@ def run_completion(cfg, save: bool = True):
     evals = {}
 
     def eval_hook(i: int, state: FitState, render):
+        # seam outputs: skip the host cv2 inpaint on intermediate evals
+        # unless seam compositing is active; the FINAL testset still gets
+        # the diagnostic artifact (compare_telea's _seam columns read it)
+        final_eval = i + cfg.i_testset > cfg.N_iters - 1
         res = evaluate(data, state.params, render,
                        state.params['adaptive_pix'], cfg.loss_type,
-                       comp_seam=getattr(cfg, 'comp_seam', 'none'))
+                       comp_seam=getattr(cfg, 'comp_seam', 'none'),
+                       normalize_type=cfg.normalize_type,
+                       compute_seam=final_eval or None)
         evals[i] = {k: v for k, v in res.items() if np.isscalar(v)}
         print(f"[completion] eval@{i}: "
               f"train_psnr={res.get('train_psnr', float('nan')):.2f} "
@@ -121,7 +144,8 @@ def run_completion(cfg, save: bool = True):
             for key in ('pred_rgb_train_img', 'pred_rgb_val_img',
                         'pred_rgb_img', 'pred_rgb_img_comp',
                         'pred_rgb_img_comp_seam'):
-                write_rgb(os.path.join(d, f'{key}.png'), res[key])
+                if key in res:
+                    write_rgb(os.path.join(d, f'{key}.png'), res[key])
             oh, ow = data.orig_shape
             write_rgb(os.path.join(d, 'gt_rgb_img.png'),
                       (data.img * data.valid_mask)[:oh, :ow])
@@ -132,7 +156,8 @@ def run_completion(cfg, save: bool = True):
                        log_every=cfg.i_print)
     final = evaluate(data, result.state.params, result.render,
                      result.state.params['adaptive_pix'], cfg.loss_type,
-                     comp_seam=getattr(cfg, 'comp_seam', 'none'))
+                     comp_seam=getattr(cfg, 'comp_seam', 'none'),
+                     normalize_type=cfg.normalize_type, compute_seam=True)
 
     # final LPIPS of the composited output vs gt (the paper's second headline
     # metric; absolute values require converted pretrained towers)

@@ -163,12 +163,17 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
         ps, pn = patch_size, bcfg.patch_num
         if block is None:
             import math
-            blk_ = math.gcd(bcfg.i_testset,
-                            getattr(bcfg, 'i_print', bcfg.i_testset) or
-                            bcfg.i_testset)
-            blk = blk_ if blk_ >= 8 else 100
+            blk = math.gcd(bcfg.i_testset,
+                           getattr(bcfg, 'i_print', bcfg.i_testset) or
+                           bcfg.i_testset)
         else:
             blk = block
+        # fit_image disables blocks below gcd 8 and consumes ONE rng split
+        # per iteration; mirror that exactly or the batched key chain
+        # diverges from the sequential one
+        use_blocks = blk >= 8
+        if not use_blocks:
+            blk = 1   # static shape for the (unused) block program
 
         stage_fns: Dict = {}
 
@@ -198,41 +203,57 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                     'style': comps.style.params if comps.style else 0,
                 }) + f'{type(model).__name__}/{k_eff}/' \
                      f'{dict(mesh.shape)}'.encode()
+                # distinct names: a blk=1 block program and the single-step
+                # program share avals, so a shared name would collide
                 bfn = aot.aot_cached(
-                    bfn, f'bfit-{task.name}-{ps_}x{pn_}-b{blk}',
+                    bfn, f'bfit-{task.name}-{ps_}x{pn_}-blk{blk}',
                     cache_dir, cfg=bcfg, extra=extra)
                 single = aot.aot_cached(
-                    single, f'bfit-{task.name}-{ps_}x{pn_}-b1',
+                    single, f'bfit-{task.name}-{ps_}x{pn_}-single',
                     cache_dir, cfg=bcfg, extra=extra)
             stage_fns[(ps_, pn_)] = (bfn, single)
             return bfn, single
 
+        consts_cache: Dict = {}
+
         def stage_consts(ps_):
-            return shard_leading_axis(stack_consts(_pad_pools_to_common(
-                [make_fit_consts(bcfg, task, d, ps_)
-                 for d in padded_group])), mesh)
+            # memoised: prewarm stacks the next stage's constants on the
+            # main thread; the decay boundary reuses them
+            if ps_ not in consts_cache:
+                consts_cache[ps_] = shard_leading_axis(
+                    stack_consts(_pad_pools_to_common(
+                        [make_fit_consts(bcfg, task, d, ps_)
+                         for d in padded_group])), mesh)
+            return consts_cache[ps_]
 
         prewarmed = set()
 
-        def prewarm_next(ps_, pn_, state_now):
+        def prewarm_next(i0, nd, ps_, pn_, state_now):
             """Compile the NEXT decay stage's batched block in the
             background while the current stage fits (see
-            models/pipeline.py compile-ahead note)."""
-            due_at = bcfg.patch_size_decay
-            if not (getattr(bcfg, 'compile_ahead', True) and ps_ > 31 and
-                    n_iters - due_at > 10 and
+            models/pipeline.py compile-ahead note). The program is built
+            and the stage constants are stacked on the MAIN thread (so the
+            stage_fns check-then-act can't race a concurrent build), and
+            everything the thread touches is bound by value — the bucket
+            loop rebinds `build`/`emb_b`/`stage_consts` for the next
+            bucket, and a late-binding closure would run bucket A's state
+            against bucket B's programs."""
+            due_at = (nd + 1) * bcfg.patch_size_decay
+            if not (use_blocks and getattr(bcfg, 'compile_ahead', True) and
+                    ps_ > 31 and due_at < n_total - 10 and
+                    i0 >= due_at - bcfg.patch_size_decay and
                     (ps_ // 2, pn_ * 2) not in prewarmed):
                 return
             prewarmed.add((ps_ // 2, pn_ * 2))
+            blk2, _ = build(ps_ // 2, pn_ * 2)
+            consts2 = stage_consts(ps_ // 2)
             import threading
 
-            def warm():
+            def warm(fn=blk2, e=emb_b, c=consts2, st=state_now):
                 try:
-                    blk2, _ = build(ps_ // 2, pn_ * 2)
-                    blk2(state_now, emb_b, stage_consts(ps_ // 2),
-                         jax.random.PRNGKey(0))
-                except Exception as e:
-                    print(f'[fit_images] compile-ahead failed: {e!r}')
+                    fn(st, e, c, jax.random.PRNGKey(0))
+                except Exception as ex:
+                    print(f'[fit_images] compile-ahead failed: {ex!r}')
 
             threading.Thread(target=warm, daemon=True).start()
 
@@ -255,10 +276,10 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                 consts = stage_consts(ps)
                 step_blk, step_one = build(ps, pn)
             remaining = n_total - i
-            if remaining >= blk and (i - 1) % blk == 0:
+            if use_blocks and remaining >= blk and (i - 1) % blk == 0:
                 rng, k = jax.random.split(rng)
                 state, _ = step_blk(state, emb_b, consts, k)
-                prewarm_next(ps, pn, state)
+                prewarm_next(i, n_decays, ps, pn, state)
                 i += blk
             else:
                 rng, k = jax.random.split(rng)

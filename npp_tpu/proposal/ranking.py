@@ -246,7 +246,11 @@ def _rank_programs(cfg, statics, percep: LPIPS, contextual: ContextualLoss,
             eval_all, f'rank-eval-{h}x{w}-c{n_cand}-{ch}x{cw}-v{n_chunks}',
             cache_dir, cfg=cfg, extra=extra)
 
-    bundle = (fit, eval_all, tx, params0)
+    # 'warmed' tracks whether the eval program has been compiled/executed
+    # once in this process: the compile-ahead warm must run once per shape
+    # class, not once per image (a warm on an already-compiled program is a
+    # full throwaway candidate eval competing with the fit for the chip)
+    bundle = (fit, eval_all, tx, params0, {'warmed': False})
     _PROGRAM_CACHE[key] = bundle
     return bundle
 
@@ -353,7 +357,7 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
 
     statics = (h, w, n_cand, train_pool.shape[0], n_chunks,
                hmax - hmin, wmax - wmin)
-    fit, eval_all, tx, params0 = _rank_programs(
+    fit, eval_all, tx, params0, prog_meta = _rank_programs(
         cfg, statics, percep, contextual, mesh, cand_axis)
 
     params = jax.tree.map(
@@ -367,11 +371,15 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
         assert jax.tree.leaves(params['mlp'])[0].shape[0] == n_cand, \
             'params_override must carry the padded candidate axis'
     else:
-        if getattr(cfg, 'compile_ahead', True):
+        if getattr(cfg, 'compile_ahead', True) and not prog_meta['warmed']:
             # the eval program compiles 2-7 min through the relay on its
             # first shape class; warm it on the INIT params (same
             # structure) in the background while the 300-iter lockstep fit
-            # runs, so the compile hides behind the fit
+            # runs, so the compile hides behind the fit. Once per shape
+            # class per process: later images reuse the compiled program
+            # and a repeat warm would just burn chip time on a throwaway
+            # candidate eval.
+            prog_meta['warmed'] = True
             import threading
             p0 = params
             threading.Thread(

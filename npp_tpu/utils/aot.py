@@ -52,7 +52,10 @@ def _source_digest() -> str:
             for f in sorted(files):
                 if f.endswith('.py'):
                     p = os.path.join(root, f)
-                    h.update(p.encode())
+                    # package-relative path: an absolute path would key the
+                    # cache on the checkout location and a moved/renamed
+                    # repo would silently miss every entry
+                    h.update(os.path.relpath(p, pkg).encode())
                     with open(p, 'rb') as fh:
                         h.update(fh.read())
         _SRC_DIGEST = h.hexdigest()
@@ -120,7 +123,11 @@ class _AotWrapped:
         self._extra = extra
         self._save = save
         self._log = log
-        self._fn: Optional[Callable] = None
+        # one resolved executable PER argument-aval signature: jit retraces
+        # on new shapes/dtypes and the wrapper must do the same (a single
+        # pinned executable would raise an opaque XLA input-mismatch error
+        # on the second shape)
+        self._fns: dict = {}
         self._lock = threading.Lock()
 
     # expose the underlying jit handle (e.g. for .lower diagnostics)
@@ -186,11 +193,15 @@ class _AotWrapped:
         return compiled
 
     def __call__(self, *args):
-        if self._fn is None:
+        sig = _aval_sig(args)
+        fn = self._fns.get(sig)
+        if fn is None:
             with self._lock:
-                if self._fn is None:
-                    self._fn = self._resolve(args)
-        return self._fn(*args)
+                fn = self._fns.get(sig)
+                if fn is None:
+                    fn = self._resolve(args)
+                    self._fns[sig] = fn
+        return fn(*args)
 
 
 def cache_dir_from(cfg) -> Optional[str]:

@@ -245,7 +245,9 @@ def main():
                     final = evaluate(data_b, st.params, render,
                                      st.params['adaptive_pix'],
                                      cfg_i.loss_type,
-                                     comp_seam=args.comp_seam)
+                                     comp_seam=args.comp_seam,
+                                     normalize_type=cfg_i.normalize_type,
+                                     compute_seam=True)
                     comp = jnp.asarray(final['pred_rgb_img_comp'],
                                        jnp.float32)[None]
                     oh, ow = data_b.orig_shape

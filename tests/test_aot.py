@@ -49,6 +49,24 @@ def test_roundtrip_and_hit(tmp_path, monkeypatch):
     np.testing.assert_array_equal(out1, out2)
 
 
+def test_wrapper_retraces_on_new_avals(tmp_path, monkeypatch):
+    """The wrapper must resolve one executable PER aval signature, like the
+    jit function it replaces — a single pinned executable raised an opaque
+    XLA input-mismatch error on the second shape."""
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    f = jax.jit(lambda a: a * 2.0 + 1.0)
+    w = aot._AotWrapped(f, 'shapes', str(tmp_path))
+    a = jnp.arange(6.0).reshape(2, 3)
+    b = jnp.arange(20.0).reshape(4, 5)
+    np.testing.assert_array_equal(np.asarray(w(a)), np.asarray(a) * 2 + 1)
+    np.testing.assert_array_equal(np.asarray(w(b)), np.asarray(b) * 2 + 1)
+    # and dtype changes too
+    c = jnp.ones((2, 3), jnp.bfloat16)
+    assert w(c).dtype == jnp.bfloat16
+    files = [f_ for f_ in os.listdir(tmp_path) if f_.endswith('.aot')]
+    assert len(files) == 3
+
+
 def test_key_discriminates(tmp_path):
     f = jax.jit(lambda a: a * 2)
     w = aot._AotWrapped(f, 'k', str(tmp_path))

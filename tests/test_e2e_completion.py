@@ -101,3 +101,18 @@ def test_seam_residual_correction_removes_offset():
     assert mse_after < mse_before / 10, (mse_before, mse_after)
     # known region untouched
     np.testing.assert_array_equal(corrected[known > 0.5], pred[known > 0.5])
+
+    # normalize_type=2 regime: [-1,1] images, residuals span [-2,2] — the
+    # value_range=2 quantization must remove a tint whose magnitude exceeds
+    # the default range's uint8 clip (1.2 > 1.0), which the old hard-coded
+    # [-1,1] round-trip saturated
+    img2 = img * 2.0 - 1.0
+    masked2 = img2 * known[..., None]
+    pred2 = img2 - 1.2                     # constant offset, |err| > 1
+    corr2 = seam_residual_correction(pred2, masked2, known, hole,
+                                     value_range=2.0)
+    mse2_after = float(np.mean((corr2 - img2)[hole > 0.5] ** 2))
+    corr2_wrong = seam_residual_correction(pred2, masked2, known, hole,
+                                           value_range=1.0)
+    mse2_wrong = float(np.mean((corr2_wrong - img2)[hole > 0.5] ** 2))
+    assert mse2_after < mse2_wrong / 10, (mse2_after, mse2_wrong)

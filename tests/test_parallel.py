@@ -395,6 +395,36 @@ def test_fit_images_chain_matches_sequential_fit_image():
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_fit_images_chain_matches_sequential_when_gcd_below_8():
+    """fit_image disables scan blocks when gcd(i_testset, i_print) < 8 and
+    consumes one rng split PER ITERATION; the batched runner must follow
+    (it used to fall back to block=100, silently diverging the key
+    chain)."""
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import fit_image
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  matmul_precision='float32', N_iters=8, i_testset=5,
+                  i_print=5, canvas_multiple=16)
+    d = dataclasses.replace(tiny_data(40, 48), patch_size=16)
+    seq = fit_image(cfg, COMPLETION_TASK, d, log_every=cfg.i_print)
+    mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    bat = fit_images(cfg, COMPLETION_TASK, [d], mesh=mesh,
+                     canvas_multiple=16)[0]
+    assert int(bat.step) == int(seq.state.step)
+    for a, b in zip(jax.tree.leaves(seq.state.params),
+                    jax.tree.leaves(bat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_fit_images_segmentation_refine_and_remapping_eval():
     """The batched suite path for the OTHER two tasks (run_suite --batched,
     round 3): fit_images with SEGMENTATION_TASK / REMAPPING_TASK on the
