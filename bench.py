@@ -136,6 +136,7 @@ def bench_tpu() -> dict:
 
     cfg = CompletionConfig()
     data = _synthetic_data(cfg)
+    _log('initializing backend + components')
     comps = build_components(cfg, data, COMPLETION_TASK)
     state, tx = init_fit_state(cfg, COMPLETION_TASK, comps.model,
                                comps.embedder, jax.random.PRNGKey(0),
@@ -155,10 +156,15 @@ def bench_tpu() -> dict:
                                comps.contextual, comps.style, tx,
                                PATCH_NUM, PATCH_SIZE, BLOCK)
     rng = jax.random.PRNGKey(1)
+    _log(f'compiling + running warmup block ({BLOCK} iters; relay compile '
+         'can take 2-7 min, first dispatch may add a pool-grant wait)')
     t0 = time.time()
     state, _ = run_block(state, rng)
     jax.block_until_ready(state.params)
     diag['block_compile_plus_first_s'] = round(time.time() - t0, 2)
+    _log(f'warmup block done ({diag["block_compile_plus_first_s"]}s)')
+    _log(f'measuring {N_BLOCKS} blocks back-to-back (~{N_BLOCKS * BLOCK} '
+         'iters, no per-block sync)')
     t0 = time.time()
     for _ in range(N_BLOCKS):
         rng, k = jax.random.split(rng)
@@ -166,8 +172,10 @@ def bench_tpu() -> dict:
     jax.block_until_ready(state.params)
     blocked_ips = BLOCK * N_BLOCKS / (time.time() - t0)
     diag['blocked_iters_per_sec'] = round(blocked_ips, 3)
+    _log(f'blocked path: {diag["blocked_iters_per_sec"]} it/s')
 
     # --- diagnostic: individually dispatched steps (relay-latency bound) ---
+    _log('compiling single-step program for latency percentiles')
     step = make_fit_step(cfg, COMPLETION_TASK, comps.model, comps.embedder,
                          consts, comps.percep, comps.contextual, comps.style,
                          tx, PATCH_NUM, PATCH_SIZE)
@@ -297,7 +305,42 @@ def bench_torch_cpu() -> float:
     return N_BENCH_CPU / (time.time() - t0)
 
 
+def _log(msg: str) -> None:
+    print(f'[bench] {msg}', file=sys.stderr, flush=True)
+
+
+def _wait_for_backend(max_attempts: int = 4, probe_timeout: int = 300) -> None:
+    """Probe backend availability in a SUBPROCESS before the real init.
+
+    The shared-TPU pool can refuse/stall backend setup for many minutes
+    (observed: jax.devices() hanging >5 min, then UNAVAILABLE after ~30 min).
+    A failed in-process init is not retryable (jax caches the dead backend),
+    so probe in a fresh subprocess with a bounded timeout and retry with
+    backoff — the probe claims no pool grant (trivial client init only)."""
+    import subprocess
+    for i in range(max_attempts):
+        t0 = time.time()
+        _log(f'backend probe {i + 1}/{max_attempts} (timeout {probe_timeout}s)')
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                _log(f'backend ready ({time.time() - t0:.1f}s)')
+                return
+            err = r.stderr.decode(errors='replace').strip().splitlines()
+            err = err[-1] if err else f'exit {r.returncode}'
+        except subprocess.TimeoutExpired:
+            err = f'probe timed out after {probe_timeout}s'
+        _log(f'backend unavailable: {err}')
+        if i + 1 < max_attempts:
+            time.sleep(30)
+    _log('proceeding without a successful probe (will fail loudly if the '
+         'backend is still down)')
+
+
 def main():
+    _wait_for_backend()
     diag = bench_tpu()
     tpu_ips = diag['blocked_iters_per_sec']
     flops_step = diag['flops_per_step']['total'] * 1e9
@@ -306,6 +349,8 @@ def main():
     diag['achieved_tflops'] = round(achieved / 1e12, 2)
     diag['mfu'] = round(mfu, 4)
     try:
+        _log('measuring torch host-CPU baseline (reference step pattern, '
+             f'{N_BENCH_CPU} steps — several minutes)')
         cpu_ips = bench_torch_cpu()
         vs = tpu_ips / cpu_ips
         diag['torch_cpu_iters_per_sec'] = round(cpu_ips, 4)

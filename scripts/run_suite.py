@@ -29,6 +29,9 @@ def main():
     ap.add_argument('--iters-scale', type=float, default=1.0)
     ap.add_argument('--skip-search', action='store_true',
                     help='reuse existing detected dirs')
+    ap.add_argument('--only', default=None,
+                    help='comma-separated example-name substrings: run only '
+                         'matching examples (drives / single-example A/Bs)')
     ap.add_argument('--no-global-canvas', action='store_true',
                     help='per-image canvas bucketing instead of one '
                          'suite-wide search canvas (more recompiles)')
@@ -56,12 +59,23 @@ def main():
                     help='override the ranking lockstep-fit budget '
                          '(SearchConfig.N_iters, reference 300) — mainly '
                          'for fast CPU drives')
+    ap.add_argument('--preset', default=None, choices=['quality'],
+                    help="'quality' = the measured round-3 configuration "
+                         'that beats TELEA on hole PSNR AND LPIPS on 5/5 '
+                         'bundled completion examples (BASELINE.md): 3x the '
+                         'reference iteration budget (so the patch-decay '
+                         'stages the reference schedules but never reaches '
+                         'actually run; completion task only) + seam-aware '
+                         'residual composite. Explicit --iters-scale/'
+                         '--comp-seam still win.')
     ap.add_argument('--aot-cache', default=os.environ.get(
                         'NPP_TPU_AOT_CACHE', ''),
                     help='directory for serialized compiled executables '
                          '(utils/aot.py): a later suite run reloads them '
                          'instead of paying the 2-7 min relay compiles')
     args = ap.parse_args()
+    if args.preset == 'quality' and args.comp_seam == 'none':
+        args.comp_seam = 'residual'
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
                                 SearchConfig, SegmentationConfig, replace)
@@ -119,6 +133,9 @@ def main():
         examples = sorted(
             n for n in os.listdir(in_dir)
             if os.path.exists(os.path.join(in_dir, n, 'gt_img.png')))
+        if args.only:
+            subs = [s for s in args.only.split(',') if s]
+            examples = [n for n in examples if any(s in n for s in subs)]
         summary['tasks'][task] = {}
         batched = args.batched
         pending = []
@@ -152,10 +169,16 @@ def main():
                 cfg = replace(cfg, aot_cache_dir=args.aot_cache)
             if task == 'completion':
                 cfg = replace(cfg, comp_seam=args.comp_seam)
-            if args.iters_scale != 1.0:
+            scale = args.iters_scale
+            if (args.preset == 'quality' and task == 'completion' and
+                    scale == 1.0):
+                # the measured lever on the one TELEA-PSNR loss: the extended
+                # schedule runs the patch-decay stages (BASELINE.md 7a2216fc)
+                scale = 3.0
+            if scale != 1.0:
                 cfg = replace(cfg,
-                              N_iters=max(2, int(cfg.N_iters * args.iters_scale)),
-                              i_testset=max(1, int(cfg.i_testset * args.iters_scale)))
+                              N_iters=max(2, int(cfg.N_iters * scale)),
+                              i_testset=max(1, int(cfg.i_testset * scale)))
             if batched:
                 from npp_tpu.models.loaders import (load_completion,
                                                     load_remapping,
