@@ -206,6 +206,20 @@ class SegmentationConfig(FitConfig):
     # — a green blob with |gray delta| < l1_thresh is reclassified as
     # periodic (measured round 2, BASELINE.md segmentation findings).
     seg_color_criterion: bool = False
+    # TPU-repo addition (default off = reference behaviour): restore init
+    # non-periodic components that retain ANY refined evidence
+    # (component-level geodesic reconstruction before small-object
+    # removal). Counters the reference refinement's measured shrink bias
+    # at blob boundaries where the INR partially reconstructs edges —
+    # components the fit fully explains are still removed whole
+    # (models/segmentation.py::refine_segmentation).
+    seg_refine_protect: bool = False
+    # TPU-repo addition (1.0 = reference behaviour): hysteresis factor for
+    # RECLASSIFYING init non-periodic pixels as periodic — removal demands
+    # l1/lpips below thresh*factor (<1 = stricter), while additions keep
+    # the reference thresholds. Separates boundary erosion (error just
+    # under thresh) from init-overshoot removal (error far under).
+    seg_refine_hysteresis: float = 1.0
 
 
 @dataclass(frozen=True)

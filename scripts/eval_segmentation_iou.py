@@ -89,11 +89,14 @@ def iou(a, b):
 
 
 def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
-                color_criterion=False):
+                color_criterion=False, refine_protect=False,
+                all_variants=False):
     import cv2
+    import numpy as np
     from npp_tpu.config import (SearchConfig, SegmentationConfig, replace)
     from npp_tpu.proposal.search import run_search
-    from npp_tpu.models.segmentation import run_segmentation
+    from npp_tpu.models.segmentation import (refine_segmentation,
+                                             run_segmentation)
 
     det_root = os.path.join(out_root, 'detected')
     det_dir = os.path.join(det_root, name)
@@ -104,13 +107,34 @@ def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
         run_search(scfg)
     cfg = replace(SegmentationConfig(), datadir=det_dir,
                   basedir=os.path.join(out_root, 'results'),
-                  seg_color_criterion=color_criterion)
+                  seg_color_criterion=color_criterion,
+                  seg_refine_protect=refine_protect)
     if iters_scale != 1.0:
         cfg = replace(cfg, N_iters=max(2, int(cfg.N_iters * iters_scale)),
                       i_testset=max(1, int(cfg.i_testset * iters_scale)))
     result, results = run_segmentation(cfg)
     last = results[max(results)]
-    return cfg, last
+    variants = None
+    if all_variants:
+        # refinement is a HOST-side post-process of the fitted render: all
+        # criterion-option combinations are computed from the SAME fit, so
+        # their IoU deltas carry no fit-budget or rng confound
+        from npp_tpu.losses.lpips import LPIPS
+        from npp_tpu.models.loaders import load_segmentation
+        data = load_segmentation(cfg)
+        h, w = data.img.shape[:2]
+        pred = np.asarray(result.render(result.state.params, h, w))
+        lp = LPIPS(net='alex')
+        variants = {}
+        for cname, col in (('gray', False), ('color', True)):
+            for vname, kw in (('', {}),
+                              ('+protect', {'seg_refine_protect': True}),
+                              ('+hyst.5', {'seg_refine_hysteresis': 0.5}),
+                              ('+hyst.7', {'seg_refine_hysteresis': 0.7})):
+                vcfg = replace(cfg, seg_color_criterion=col, **kw)
+                variants[cname + vname] = refine_segmentation(
+                    vcfg, data, pred, lp)
+    return cfg, last, variants
 
 
 def main():
@@ -124,6 +148,14 @@ def main():
     ap.add_argument('--color-criterion', action='store_true',
                     help='cfg.seg_color_criterion=True: per-channel L1 '
                          'refinement criterion (round-3 gated option)')
+    ap.add_argument('--all-variants', action='store_true',
+                    help='report IoU of every criterion-option combination '
+                         '(gray/color x protect) computed from the SAME '
+                         'fit — no fit-budget confound between variants')
+    ap.add_argument('--protect', action='store_true',
+                    help='cfg.seg_refine_protect=True: restore init '
+                         'components that retain refined evidence '
+                         '(round-3 gated anti-erosion option)')
     ap.add_argument('--isoluminant', action='store_true',
                     help='add a synthetic whose blob is grayscale-'
                          'isoluminant (the measured round-2 failure mode '
@@ -156,9 +188,11 @@ def main():
                     np.full(img.shape[:2], 255, np.uint8))
         np.save(os.path.join(in_dir, 'gt_nonperiodic.npy'), gt_mask)
 
-        cfg, last = run_example(name, in_dir, args.out, args.iters_scale,
-                                search_iters=args.search_iters,
-                                color_criterion=args.color_criterion)
+        cfg, last, variants = run_example(
+            name, in_dir, args.out, args.iters_scale,
+            search_iters=args.search_iters,
+            color_criterion=args.color_criterion,
+            refine_protect=args.protect, all_variants=args.all_variants)
         data = load_segmentation(replace(
             cfg, datadir=os.path.join(args.out, 'detected', name)))
         oh, ow = data.orig_shape
@@ -170,6 +204,10 @@ def main():
                'iou_refined_vs_init': round(iou(fin, init_mask), 4),
                'frac_refined': round(float(fin.mean()), 4),
                'frac_gt': round(float(gt_mask.mean()), 4)}
+        if variants is not None:
+            rec['variants_iou_vs_gt'] = {
+                k: round(iou(v['non_period_mask'][..., 0] > 0, gt_mask), 4)
+                for k, v in variants.items()}
         records.append(rec)
         print(json.dumps(rec))
 
@@ -180,8 +218,9 @@ def main():
             in_dir = os.path.join(in_root, name)
             if not os.path.exists(os.path.join(in_dir, 'gt_img.png')):
                 continue
-            cfg, last = run_example(name, in_dir, args.out, args.iters_scale,
-                                search_iters=args.search_iters)
+            cfg, last, _ = run_example(name, in_dir, args.out,
+                                       args.iters_scale,
+                                       search_iters=args.search_iters)
             data = load_segmentation(replace(
                 cfg, datadir=os.path.join(args.out, 'detected', name)))
             oh, ow = data.orig_shape

@@ -163,3 +163,152 @@ def test_color_criterion_catches_isoluminant_anomaly():
     # grayscale criterion is blind to the blob
     assert (res_gray['l1_img'][35:65, 35:65] >
             SegmentationConfig().l1_thresh).mean() < 0.1
+
+
+def test_refine_protect_restores_eroded_blob_keeps_removals():
+    """cfg.seg_refine_protect=True (round-3 gated option): an init
+    non-periodic component whose CORE still fails the criteria must be
+    restored whole (the reference refinement erodes its boundary band where
+    the INR partially reconstructs edges), while a component the fit fully
+    explains is still removed whole. Off = reference behaviour
+    (bit-identical masks)."""
+    import numpy as np
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.segmentation import refine_segmentation
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.config import SegmentationConfig, replace
+
+    rng = np.random.RandomState(1)
+    h, w = 128, 128
+    blur = rng.rand(h, w, 3) * 0.05 + 0.5
+    pred = blur.copy()
+    # blob A (init 20:80, 20:80): only its CORE still mispredicts — the
+    # boundary band is reconstructed, so the reference criteria erode it
+    pred[35:65, 35:65] += 0.6
+    # blob B (init 20:60, 90:120): fully reconstructed -> fully removed
+    non_period = np.zeros((h, w, 1))
+    non_period[20:80, 20:80] = 1
+    non_period[20:60, 90:120] = 1
+    data = TaskData(img=blur, masked_img=blur, mask=np.ones((h, w, 1)),
+                    valid_mask=np.ones((h, w, 1)),
+                    i_train=np.zeros((1, 2), int), i_val=np.zeros((1, 2), int),
+                    selected_shifts=[], selected_angles=[],
+                    selected_periods=[], patch_size=16,
+                    extra={'blur_img': blur, 'non_period_mask': non_period})
+    lp = LPIPS(net='alex')
+    cfg = SegmentationConfig()
+    res_off = refine_segmentation(cfg, data, pred, lp)
+    res_on = refine_segmentation(
+        replace(cfg, seg_refine_protect=True), data, pred, lp)
+
+    off_mask = res_off['non_period_mask'][..., 0] > 0
+    on_mask = res_on['non_period_mask'][..., 0] > 0
+    # reference behaviour erodes blob A's boundary band
+    assert off_mask[35:65, 35:65].mean() > 0.9       # core flagged
+    assert off_mask[20:80, 20:80].mean() < 0.9       # ...but band eroded
+    # protect restores the WHOLE init component of blob A
+    assert on_mask[20:80, 20:80].mean() > 0.99
+    # blob B has no surviving evidence: removed under both settings
+    assert off_mask[20:60, 90:120].mean() < 0.05
+    assert on_mask[20:60, 90:120].mean() < 0.05
+    # protect only ever ADDS init-mask pixels
+    assert not (off_mask & ~on_mask).any()
+
+
+def test_refine_protect_off_is_reference_identical():
+    """seg_refine_protect default-off path must produce the identical mask
+    object content as before the option existed."""
+    import numpy as np
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.segmentation import refine_segmentation
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.config import SegmentationConfig, replace
+
+    rng = np.random.RandomState(2)
+    h, w = 96, 96
+    blur = rng.rand(h, w, 3) * 0.05 + 0.5
+    pred = blur.copy()
+    pred[30:80, 30:80] += rng.rand(50, 50, 3) * 0.6
+    non_period = np.zeros((h, w, 1))
+    non_period[20:90, 20:90] = 1
+    data = TaskData(img=blur, masked_img=blur, mask=np.ones((h, w, 1)),
+                    valid_mask=np.ones((h, w, 1)),
+                    i_train=np.zeros((1, 2), int), i_val=np.zeros((1, 2), int),
+                    selected_shifts=[], selected_angles=[],
+                    selected_periods=[], patch_size=16,
+                    extra={'blur_img': blur, 'non_period_mask': non_period})
+    lp = LPIPS(net='alex')
+    res_default = refine_segmentation(SegmentationConfig(), data, pred, lp)
+    res_explicit = refine_segmentation(
+        replace(SegmentationConfig(), seg_refine_protect=False),
+        data, pred, lp)
+    np.testing.assert_array_equal(res_default['non_period_mask'],
+                                  res_explicit['non_period_mask'])
+
+
+def test_refine_hysteresis_separates_erosion_from_overshoot():
+    """cfg.seg_refine_hysteresis<1 (round-3 gated option): init non-periodic
+    pixels whose error sits JUST under the threshold (partially
+    reconstructed blob boundary) stay non-periodic, while init pixels whose
+    error is far under it (well-fit periodic overshoot of the init mask)
+    are still removed. 1.0 = reference behaviour (bit-identical)."""
+    import numpy as np
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.segmentation import refine_segmentation
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.config import SegmentationConfig, replace
+
+    rng = np.random.RandomState(3)
+    h, w = 128, 128
+    blur = rng.rand(h, w, 3) * 0.05 + 0.5
+    pred = blur.copy()
+    cfg = SegmentationConfig()
+    # blob core: way over thresh (stays non-periodic under everything)
+    pred[40:60, 40:60] += 0.6
+    # boundary band: error just UNDER the l1 threshold (gray delta ~0.8*t)
+    pred[30:70, 30:70] = np.where(
+        (np.mgrid[:h, :w][0][..., None] >= 40) &
+        (np.mgrid[:h, :w][0][..., None] < 60) &
+        (np.mgrid[:h, :w][1][..., None] >= 40) &
+        (np.mgrid[:h, :w][1][..., None] < 60),
+        pred[30:70, 30:70] if False else pred,
+        pred)[30:70, 30:70]
+    band = np.zeros((h, w), bool)
+    band[30:70, 30:70] = True
+    band[40:60, 40:60] = False
+    pred[band] = blur[band] + 0.8 * cfg.l1_thresh  # uniform shift per channel
+    # init mask: blob + band + OVERSHOOT ring with ~zero error
+    non_period = np.zeros((h, w, 1))
+    non_period[20:80, 20:80] = 1
+    data = TaskData(img=blur, masked_img=blur, mask=np.ones((h, w, 1)),
+                    valid_mask=np.ones((h, w, 1)),
+                    i_train=np.zeros((1, 2), int), i_val=np.zeros((1, 2), int),
+                    selected_shifts=[], selected_angles=[],
+                    selected_periods=[], patch_size=16,
+                    extra={'blur_img': blur, 'non_period_mask': non_period})
+    lp = LPIPS(net='alex')
+    res_ref = refine_segmentation(cfg, data, pred, lp)
+    res_h = refine_segmentation(
+        replace(cfg, seg_refine_hysteresis=0.5), data, pred, lp)
+    ref_mask = res_ref['non_period_mask'][..., 0] > 0
+    h_mask = res_h['non_period_mask'][..., 0] > 0
+    # reference: band (error < thresh) is eroded to the core
+    assert ref_mask[band].mean() < 0.1
+    # hysteresis keeps the band non-periodic (error > 0.5*thresh)...
+    assert h_mask[band].mean() > 0.9
+    # ...but still removes the near-zero-error overshoot ring (measured on
+    # ring pixels beyond the spatial-LPIPS receptive-field bleed of the
+    # band edge; adjacent ring pixels legitimately inherit band error)
+    ring_far = np.zeros((h, w), bool)
+    ring_far[20:80, 20:80] = True
+    ring_far[26:74, 26:74] = False
+    assert h_mask[ring_far].mean() < 0.1
+    ring = np.zeros((h, w), bool)
+    ring[20:80, 20:80] = True
+    ring[30:70, 30:70] = False
+    assert h_mask[ring].mean() < 0.35
+    # factor 1.0 is bit-identical to the reference path
+    res_one = refine_segmentation(
+        replace(cfg, seg_refine_hysteresis=1.0), data, pred, lp)
+    np.testing.assert_array_equal(res_ref['non_period_mask'],
+                                  res_one['non_period_mask'])
