@@ -500,3 +500,33 @@ def test_fit_images_segmentation_refine_and_remapping_eval():
     assert np.isfinite(final['val_psnr'])
     oh, ow = rd.img.shape[:2]
     assert final['pred_rgb_img'].shape == (oh, ow, 3)
+
+
+def test_fit_images_chain_matches_sequential_across_decay_boundaries():
+    """Chain parity THROUGH the patch-decay restages (the --preset quality
+    path runs 3 stages): two decays (64->32->16) plus the skip-decay-in-
+    final-10-iters rule must leave batched == sequential bit-for-bit in
+    rng consumption and near-identical in params."""
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.pipeline import fit_image
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  matmul_precision='float32', N_iters=35, i_testset=10,
+                  i_print=10, patch_size_decay=10, canvas_multiple=16)
+    d = dataclasses.replace(tiny_data(96, 112), patch_size=64)
+    seq = fit_image(cfg, COMPLETION_TASK, d, log_every=cfg.i_print)
+    mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    bat = fit_images(cfg, COMPLETION_TASK, [d], mesh=mesh,
+                     canvas_multiple=16)[0]
+    assert int(bat.step) == int(seq.state.step)
+    for a, b in zip(jax.tree.leaves(seq.state.params),
+                    jax.tree.leaves(bat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
