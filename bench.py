@@ -310,33 +310,10 @@ def _log(msg: str) -> None:
 
 
 def _wait_for_backend(max_attempts: int = 4, probe_timeout: int = 300) -> None:
-    """Probe backend availability in a SUBPROCESS before the real init.
-
-    The shared-TPU pool can refuse/stall backend setup for many minutes
-    (observed: jax.devices() hanging >5 min, then UNAVAILABLE after ~30 min).
-    A failed in-process init is not retryable (jax caches the dead backend),
-    so probe in a fresh subprocess with a bounded timeout and retry with
-    backoff — the probe claims no pool grant (trivial client init only)."""
-    import subprocess
-    for i in range(max_attempts):
-        t0 = time.time()
-        _log(f'backend probe {i + 1}/{max_attempts} (timeout {probe_timeout}s)')
-        try:
-            r = subprocess.run(
-                [sys.executable, '-c', 'import jax; jax.devices()'],
-                timeout=probe_timeout, capture_output=True)
-            if r.returncode == 0:
-                _log(f'backend ready ({time.time() - t0:.1f}s)')
-                return
-            err = r.stderr.decode(errors='replace').strip().splitlines()
-            err = err[-1] if err else f'exit {r.returncode}'
-        except subprocess.TimeoutExpired:
-            err = f'probe timed out after {probe_timeout}s'
-        _log(f'backend unavailable: {err}')
-        if i + 1 < max_attempts:
-            time.sleep(30)
-    _log('proceeding without a successful probe (will fail loudly if the '
-         'backend is still down)')
+    """Shared pool-stall probe; see npp_tpu/utils/backend.py."""
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend(max_attempts=max_attempts, probe_timeout=probe_timeout,
+                     log=lambda m: _log(m.replace('[backend] ', '')))
 
 
 def main():

@@ -53,6 +53,17 @@ class BaseConfig:
                                         # thread warms the jitted block; the
                                         # persistent compile cache cannot be
                                         # used through the relay)
+    embed_table: str = ""               # '' | 'float32' | 'bfloat16':
+                                        # inside each scan-block, precompute
+                                        # the full-canvas embedding table
+                                        # ONCE and gather rows per step
+                                        # instead of recomputing the trig
+                                        # chain (all fit coords are integer
+                                        # canvas pixels) — trades ~50x of
+                                        # the per-block VPU transcendental
+                                        # work for one HBM gather per step.
+                                        # Ignored when warp_field is on
+                                        # (warped coords are non-integer).
     aot_cache_dir: str = ""             # serialize compiled fit/ranking
                                         # executables here and reload them in
                                         # later sessions (utils/aot.py;

@@ -35,10 +35,16 @@ def remove_small_objects(mask: np.ndarray, min_size: int = 500,
 
 
 def refine_segmentation(cfg, data, pred_img: np.ndarray,
-                        lpips_alex: LPIPS) -> Dict[str, np.ndarray]:
+                        lpips_alex: LPIPS,
+                        cache: Dict = None) -> Dict[str, np.ndarray]:
     """The two-criterion refinement (reference:
     NPP_segmentation/train.py:333-406): L1 < l1_thresh AND spatial
-    LPIPS < lpips_thresh per layer; morphology post-processing."""
+    LPIPS < lpips_thresh per layer; morphology post-processing.
+
+    cache: optional dict shared across calls with IDENTICAL (pred_img,
+    data) — stores the spatial-LPIPS per-layer maps, which depend only on
+    those inputs, so criterion-option sweeps (seg_color_criterion /
+    seg_refine_*) skip the repeated tower forward."""
     valid = data.valid_mask
     blur_img = data.extra['blur_img']
     non_period = data.extra['non_period_mask'][..., 0]
@@ -56,10 +62,16 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
         l1_img = np.clip(np.abs(pred_gray - blur_gray).sum(-1), 0, 0.99)
     l1_ok = l1_img < cfg.l1_thresh
 
-    _, per_layer = lpips_alex(jnp.asarray(pred_gray[None], jnp.float32),
-                              jnp.asarray(blur_gray[None], jnp.float32),
-                              use_robust=False, normalize=True, spatial=True,
-                              ret_per_layer=True)
+    if cache is not None and 'per_layer' in cache:
+        per_layer = cache['per_layer']
+    else:
+        _, per_layer = lpips_alex(
+            jnp.asarray(pred_gray[None], jnp.float32),
+            jnp.asarray(blur_gray[None], jnp.float32),
+            use_robust=False, normalize=True, spatial=True,
+            ret_per_layer=True)
+        if cache is not None:
+            cache['per_layer'] = per_layer
 
     # The reference's lpips_thresh (0.3) is calibrated for the pretrained
     # AlexNet LPIPS. When the tower runs on fallback random weights (no
@@ -94,10 +106,12 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
         lp_np = non_period * lp
         lpips_maps.append(lp_np)
         lp_ok = lp_np < cfg.lpips_thresh
-        lpips_masks.append(lp_ok)
         if hyst != 1.0:
+            # keep the saved mask artifact consistent with the actual
+            # per-pixel decision (like l1_ok above)
             lp_ok = np.where(init_np, lp_np < cfg.lpips_thresh * hyst,
                              lp_ok)
+        lpips_masks.append(lp_ok)
         period_i = lp_ok & l1_ok
         np_i = (~period_i).astype(np.float64)
         non_period_final = np_i if non_period_final is None \

@@ -244,9 +244,9 @@ def make_fit_step_core(cfg, task: TaskSpec, model, embedder,
     loss_fn = build_loss_fn(cfg, task, model, percep, contextual, style,
                             patch_num, patch_size)
 
-    def step_fn(state: FitState, rng):
+    def step_fn(state: FitState, rng, emb=embedder):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, embedder, consts, rng)
+            state.params, emb, consts, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics['loss'] = loss
@@ -275,12 +275,28 @@ def make_fit_block(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
     core = make_fit_step_core(cfg, task, model, embedder, consts, percep,
                               contextual, style, tx, patch_num, patch_size)
 
+    # cfg.embed_table: precompute the canvas embedding ONCE per block and
+    # gather rows inside the scan — one full-canvas trig pass (H*W rows)
+    # replaces `block` per-step passes (block * (N_rand + patch px) rows).
+    # Built inside the jit so the table is an intermediate, not a giant
+    # executable constant; invalid with warp (non-integer coords) and
+    # pointless for tiny blocks.
+    from ..nn.embedder import TaskEmbedder, make_embedding_table
+    from ..nn.warp import make_warp
+    table_dtype = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}.get(
+        getattr(cfg, 'embed_table', ''))
+    use_table = (table_dtype is not None and block >= 8 and
+                 make_warp(cfg) is None and
+                 isinstance(embedder, TaskEmbedder))
+
     @jax.jit
     def run_block(state: FitState, rng):
+        emb = make_embedding_table(embedder, table_dtype) if use_table \
+            else embedder
         keys = jax.random.split(rng, block)
 
         def body(st, k):
-            st, metrics = core(st, k)
+            st, metrics = core(st, k, emb)
             return st, metrics
 
         state, metrics_seq = jax.lax.scan(body, state, keys)

@@ -183,6 +183,50 @@ def make_task_embedder(cfg, proposals_angles, proposals_periods,
         out_dim=int(angles.shape[0]) * pdim * ndim, top1_dim=pdim * ndim)
 
 
+class TableEmbedder(NamedTuple):
+    """Gather-based stand-in for TaskEmbedder built from a precomputed
+    (H*W, D) table (cfg.embed_table; see make_embedding_table).
+
+    Every coordinate the fit step embeds is an INTEGER canvas pixel
+    (pool_train / sampler fake_coords are int32, the renderer walks the
+    meshgrid), so `table[y*W + x]` evaluates the identical function — the
+    trig chain runs once per canvas position instead of once per sampled
+    row per step. Meant to be constructed INSIDE a jitted block (the table
+    then lives only for that call and is never baked into an executable as
+    a giant constant). Not valid with the warp field: warped coordinates
+    are non-integer (trainer/make_fit_block gates on that)."""
+
+    table: jnp.ndarray     # (H*W, D)
+    res: Tuple[int, int]
+    out_dim: int
+    top1_dim: int
+
+    def embed(self, coords_yx: jnp.ndarray) -> jnp.ndarray:
+        w = self.res[1]
+        iy = coords_yx[..., 0].astype(jnp.int32)
+        ix = coords_yx[..., 1].astype(jnp.int32)
+        return jnp.take(self.table, iy * w + ix, axis=0)
+
+
+def make_embedding_table(base: TaskEmbedder, dtype=jnp.float32,
+                         chunk: int = 1 << 15) -> TableEmbedder:
+    """Evaluate `base.embed` over the whole canvas (chunked lax.map keeps
+    the peak at one chunk's intermediates) and wrap it as a TableEmbedder.
+    Traceable: call inside jit so the table is a loop-invariant operand of
+    the surrounding program, not a closure constant."""
+    h, w = base.res
+    coords = jnp.stack(jnp.meshgrid(jnp.arange(h), jnp.arange(w),
+                                    indexing='ij'), -1).reshape(-1, 2)
+    n = coords.shape[0]
+    pad = (-n) % chunk
+    coords = jnp.pad(coords, ((0, pad), (0, 0))).astype(jnp.float32)
+    table = jax.lax.map(lambda c: base.embed(c).astype(dtype),
+                        coords.reshape(-1, chunk, 2))
+    return TableEmbedder(table=table.reshape(-1, base.out_dim)[:n],
+                         res=base.res, out_dim=base.out_dim,
+                         top1_dim=base.top1_dim)
+
+
 class SearchEmbedder(NamedTuple):
     """Search-mode encoder pair (reference: NPP_proposal/search.py:105-109):
     embed_pos  (N,2) -> (N, 2*(1+2F)) Fourier of normalised raw coords;

@@ -166,12 +166,16 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             blk = math.gcd(bcfg.i_testset,
                            getattr(bcfg, 'i_print', bcfg.i_testset) or
                            bcfg.i_testset)
+            # fit_image disables blocks below gcd 8 and consumes ONE rng
+            # split per iteration; mirror that exactly or the batched key
+            # chain diverges from the sequential one
+            use_blocks = blk >= 8
         else:
+            # an EXPLICIT block is honoured as given (callers like the MFU
+            # bench choose their own dispatch granularity; sequential-chain
+            # parity only governs the default gcd path)
             blk = block
-        # fit_image disables blocks below gcd 8 and consumes ONE rng split
-        # per iteration; mirror that exactly or the batched key chain
-        # diverges from the sequential one
-        use_blocks = blk >= 8
+            use_blocks = blk > 1
         if not use_blocks:
             blk = 1   # static shape for the (unused) block program
 

@@ -393,6 +393,10 @@ def rank_proposals(cfg, masked_img: np.ndarray, i_train: np.ndarray,
              for k, v in jax.device_get(
                  eval_all(params, img, angles, periods, norm_hw, val_pad,
                           crop_org)).items()}
+    # any successful eval compiles the program — mark it so later images
+    # never spawn a throwaway background warm (e.g. after an eval-only
+    # params_override call, or with compile_ahead off)
+    prog_meta['warmed'] = True
     scores = combine_scores(cfg, comps)
     proxy = getattr(cfg, 'rank_proxy', 'reference')
     distances = scores[proxy]

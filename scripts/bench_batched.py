@@ -39,6 +39,9 @@ def main():
     ap.add_argument('--iters', type=int, default=2000)
     args = ap.parse_args()
 
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend()   # the shared pool can stall backend init for minutes
+
     import jax
     from npp_tpu.config import CompletionConfig, replace
     from npp_tpu.models.completion import COMPLETION_TASK

@@ -126,14 +126,20 @@ def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
         pred = np.asarray(result.render(result.state.params, h, w))
         lp = LPIPS(net='alex')
         variants = {}
+        lp_cache = {}   # one tower forward shared by every variant
+        # each variant is built from an EXPLICIT clean base (protect off,
+        # hysteresis 1.0) so the grid labels describe exactly what ran,
+        # regardless of the --protect flag on the primary run
         for cname, col in (('gray', False), ('color', True)):
             for vname, kw in (('', {}),
                               ('+protect', {'seg_refine_protect': True}),
                               ('+hyst.5', {'seg_refine_hysteresis': 0.5}),
                               ('+hyst.7', {'seg_refine_hysteresis': 0.7})):
-                vcfg = replace(cfg, seg_color_criterion=col, **kw)
+                vcfg = replace(cfg, seg_color_criterion=col,
+                               seg_refine_protect=False,
+                               seg_refine_hysteresis=1.0, **kw)
                 variants[cname + vname] = refine_segmentation(
-                    vcfg, data, pred, lp)
+                    vcfg, data, pred, lp, cache=lp_cache)
     return cfg, last, variants
 
 
@@ -161,6 +167,9 @@ def main():
                          'isoluminant (the measured round-2 failure mode '
                          'of the reference grayscale criterion)')
     args = ap.parse_args()
+
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend()   # the shared pool can stall backend init for minutes
 
     import cv2
     from npp_tpu.models.loaders import load_segmentation

@@ -26,7 +26,9 @@ def main():
     ap.add_argument('--tasks', default='completion,segmentation,remapping')
     ap.add_argument('--input-root', default='/root/reference/data')
     ap.add_argument('--out', default='/tmp/npp_suite')
-    ap.add_argument('--iters-scale', type=float, default=1.0)
+    ap.add_argument('--iters-scale', type=float, default=None,
+                    help='scale every task N_iters/i_testset (default 1.0; '
+                         'an EXPLICIT value always wins over --preset)')
     ap.add_argument('--skip-search', action='store_true',
                     help='reuse existing detected dirs')
     ap.add_argument('--only', default=None,
@@ -47,7 +49,7 @@ def main():
                          'fit_images) instead of sequentially — per-image '
                          'aux gating rides the bucket keys; post-fit '
                          'eval/refinement runs host-side per image')
-    ap.add_argument('--comp-seam', default='none',
+    ap.add_argument('--comp-seam', default=None,
                     choices=['none', 'residual'],
                     help="completion compositing: 'residual' = seam-aware "
                          'residual-corrected composite (cfg.comp_seam)')
@@ -74,14 +76,24 @@ def main():
                          '(utils/aot.py): a later suite run reloads them '
                          'instead of paying the 2-7 min relay compiles')
     args = ap.parse_args()
-    if args.preset == 'quality' and args.comp_seam == 'none':
-        args.comp_seam = 'residual'
+    # None = flag not given: --preset fills it, else the plain default.
+    # An explicitly passed value (even the default one) always wins.
+    if args.comp_seam is None:
+        args.comp_seam = 'residual' if args.preset == 'quality' else 'none'
+    if args.iters_scale is None:
+        args.iters_scale = 1.0
+        quality_scale = args.preset == 'quality'
+    else:
+        quality_scale = False
 
     from npp_tpu.config import (CompletionConfig, RemappingConfig,
                                 SearchConfig, SegmentationConfig, replace)
     from npp_tpu.losses.contextual import ContextualLoss
     from npp_tpu.losses.lpips import LPIPS
     from npp_tpu.utils.debug import PhaseTimer
+
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend()   # the shared pool can stall backend init for minutes
 
     timer = PhaseTimer()
     summary = {'tasks': {}, 'env': {'devices': None}}
@@ -170,8 +182,7 @@ def main():
             if task == 'completion':
                 cfg = replace(cfg, comp_seam=args.comp_seam)
             scale = args.iters_scale
-            if (args.preset == 'quality' and task == 'completion' and
-                    scale == 1.0):
+            if quality_scale and task == 'completion':
                 # the measured lever on the one TELEA-PSNR loss: the extended
                 # schedule runs the patch-decay stages (BASELINE.md 7a2216fc)
                 scale = 3.0

@@ -266,13 +266,6 @@ def test_refine_hysteresis_separates_erosion_from_overshoot():
     # blob core: way over thresh (stays non-periodic under everything)
     pred[40:60, 40:60] += 0.6
     # boundary band: error just UNDER the l1 threshold (gray delta ~0.8*t)
-    pred[30:70, 30:70] = np.where(
-        (np.mgrid[:h, :w][0][..., None] >= 40) &
-        (np.mgrid[:h, :w][0][..., None] < 60) &
-        (np.mgrid[:h, :w][1][..., None] >= 40) &
-        (np.mgrid[:h, :w][1][..., None] < 60),
-        pred[30:70, 30:70] if False else pred,
-        pred)[30:70, 30:70]
     band = np.zeros((h, w), bool)
     band[30:70, 30:70] = True
     band[40:60, 40:60] = False

@@ -97,6 +97,75 @@ def test_render_matches_shapes_and_range():
     assert float(img.min()) >= 0 and float(img.max()) <= 1
 
 
+def _run_block(cfg, task, data, block=8, patch_size=16):
+    from npp_tpu.models.trainer import make_fit_block
+    comps = build_components(cfg, data, task)
+    state, tx = init_fit_state(cfg, task, comps.model, comps.embedder,
+                               jax.random.PRNGKey(0), comps.percep,
+                               comps.style)
+    consts = make_fit_consts(cfg, task, data, patch_size)
+    run = make_fit_block(cfg, task, comps.model, comps.embedder, consts,
+                         comps.percep, comps.contextual, comps.style, tx,
+                         cfg.patch_num, patch_size, block)
+    state, metrics = run(state, jax.random.PRNGKey(1))
+    return state, metrics
+
+
+def test_embed_table_block_matches_on_the_fly():
+    """cfg.embed_table='float32' gathers from a precomputed canvas table;
+    on integer pixel coords that is the SAME function as the on-the-fly
+    trig chain. Asserted at two levels: the gathered embedding matches
+    base.embed to f32 trig accuracy (XLA's sin/cos argument reduction
+    differs by ~1e-5 absolute across compilation contexts — both correct
+    to f32 sin accuracy), and a whole scan-block of Adam steps stays
+    within noise tolerance (that drift amplifies through the optimiser,
+    so the end-of-block bound is looser)."""
+    data = tiny_data()
+    cfg = tiny_cfg(embed_table='float32')
+    comps = build_components(cfg, data, COMPLETION_TASK)
+    from npp_tpu.nn.embedder import make_embedding_table
+    table = jax.jit(lambda: make_embedding_table(comps.embedder,
+                                                 chunk=256).table)()
+    rng = np.random.RandomState(3)
+    coords = np.stack([rng.randint(0, 40, 64), rng.randint(0, 48, 64)],
+                      -1).astype(np.float32)
+    direct = np.asarray(comps.embedder.embed(jnp.asarray(coords)))
+    idx = coords[:, 0].astype(int) * 48 + coords[:, 1].astype(int)
+    np.testing.assert_allclose(np.asarray(table)[idx], direct, atol=3e-5)
+
+    ref_state, ref_m = _run_block(tiny_cfg(), COMPLETION_TASK, data)
+    tab_state, tab_m = _run_block(cfg, COMPLETION_TASK, data)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(tab_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    assert np.allclose(float(ref_m['loss']), float(tab_m['loss']),
+                       rtol=1e-3, atol=1e-4)
+
+
+def test_embed_table_bf16_close_and_warp_gated():
+    """bfloat16 table stays close to f32 (matmul operands round to bf16
+    under the default matmul_precision anyway); with warp_field on the
+    table is silently ignored (warped coords are non-integer) — the block
+    must still run and match the no-table warp path exactly."""
+    data = tiny_data()
+    ref_state, _ = _run_block(tiny_cfg(), COMPLETION_TASK, data)
+    bf_state, _ = _run_block(tiny_cfg(embed_table='bfloat16'),
+                             COMPLETION_TASK, data)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(bf_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-2)
+    warp_ref, _ = _run_block(tiny_cfg(warp_field=True), COMPLETION_TASK,
+                             data, block=8)
+    warp_tab, _ = _run_block(tiny_cfg(warp_field=True,
+                                      embed_table='float32'),
+                             COMPLETION_TASK, data, block=8)
+    for a, b in zip(jax.tree.leaves(warp_ref.params),
+                    jax.tree.leaves(warp_tab.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_no_pix_loss_flag():
     cfg = tiny_cfg(no_pix_loss=True, use_contextual_loss=True)
     data = tiny_data()
