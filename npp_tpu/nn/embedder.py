@@ -18,7 +18,7 @@ Channel-order parity with the reference is preserved exactly:
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -209,12 +209,20 @@ class TableEmbedder(NamedTuple):
 
 
 def make_embedding_table(base: TaskEmbedder, dtype=jnp.float32,
-                         chunk: int = 1 << 15) -> TableEmbedder:
+                         chunk: int = 1 << 15,
+                         grid_hw: Optional[Tuple[int, int]] = None
+                         ) -> TableEmbedder:
     """Evaluate `base.embed` over the whole canvas (chunked lax.map keeps
     the peak at one chunk's intermediates) and wrap it as a TableEmbedder.
     Traceable: call inside jit so the table is a loop-invariant operand of
-    the surrounding program, not a closure constant."""
-    h, w = base.res
+    the surrounding program, not a closure constant.
+
+    grid_hw: static table GRID dims; defaults to base.res. The batched
+    runner passes the shared bucket canvas here while base.res stays each
+    image's TIGHT normalisation dims (possibly a traced (2,) array inside
+    a vmap) — the table's index space is the bucket, its VALUES keep the
+    per-image normalisation (the canvas-leak rule, parallel/runner.py)."""
+    h, w = grid_hw if grid_hw is not None else base.res
     coords = jnp.stack(jnp.meshgrid(jnp.arange(h), jnp.arange(w),
                                     indexing='ij'), -1).reshape(-1, 2)
     n = coords.shape[0]
@@ -222,8 +230,10 @@ def make_embedding_table(base: TaskEmbedder, dtype=jnp.float32,
     coords = jnp.pad(coords, ((0, pad), (0, 0))).astype(jnp.float32)
     table = jax.lax.map(lambda c: base.embed(c).astype(dtype),
                         coords.reshape(-1, chunk, 2))
-    return TableEmbedder(table=table.reshape(-1, base.out_dim)[:n],
-                         res=base.res, out_dim=base.out_dim,
+    # table.shape[-1] (concrete) rather than base.out_dim: when the
+    # embedder is a jit ARGUMENT (batched runner), int leaves are tracers
+    return TableEmbedder(table=table.reshape(-1, table.shape[-1])[:n],
+                         res=(int(h), int(w)), out_dim=base.out_dim,
                          top1_dim=base.top1_dim)
 
 

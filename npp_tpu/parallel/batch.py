@@ -25,7 +25,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.trainer import FitConsts, FitState, TaskSpec, build_loss_fn
-from ..nn.embedder import TaskEmbedder
+from ..nn.embedder import TableEmbedder, TaskEmbedder, make_embedding_table
 
 
 def stack_embedders(embedders: Sequence[TaskEmbedder]) -> TaskEmbedder:
@@ -46,12 +46,35 @@ def stack_consts(consts: Sequence[FitConsts]) -> FitConsts:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *consts)
 
 
-def _embedder_batch_axes() -> TaskEmbedder:
+def _embedder_batch_axes(embedder_b=None):
     """vmap in_axes spec: batch over angles/periods/res, broadcast the
-    rest."""
+    rest. A TableEmbedder batches only its (B, H*W, D) table."""
+    if isinstance(embedder_b, TableEmbedder):
+        return TableEmbedder(table=0, res=None, out_dim=None, top1_dim=None)
     return TaskEmbedder(freq_bands=None, angles=0, periods=0, res=0,
                         freq_scales=None, freq_offsets=None, angle_offsets=None,
                         out_dim=None, top1_dim=None)
+
+
+def make_batched_table(embedder_b: TaskEmbedder, grid_hw: Tuple[int, int],
+                       dtype=jnp.float32, chunk: int = 1 << 15
+                       ) -> TableEmbedder:
+    """Per-image embedding tables over the shared bucket canvas, stacked on
+    the images axis: table (B, grid_h*grid_w, D). Each image's values keep
+    ITS tight-canvas normalisation (embedder_b.res is the stacked (B, 2)
+    tight dims); only the index space is the bucket (pool coordinates are
+    integer bucket-canvas pixels after pad_to_canvas). Meant to be built
+    INSIDE the jitted block."""
+    def one(angles, periods, res):
+        e = embedder_b._replace(angles=angles, periods=periods, res=res)
+        return make_embedding_table(e, dtype, chunk=chunk,
+                                    grid_hw=grid_hw).table
+
+    tables = jax.vmap(one)(embedder_b.angles, embedder_b.periods,
+                           embedder_b.res)
+    return TableEmbedder(table=tables, res=(int(grid_hw[0]), int(grid_hw[1])),
+                         out_dim=embedder_b.out_dim,
+                         top1_dim=embedder_b.top1_dim)
 
 
 def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
@@ -74,11 +97,11 @@ def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
         metrics['loss'] = loss
         return params, opt_state, metrics
 
-    vstep = jax.vmap(single,
-                     in_axes=(0, 0, _embedder_batch_axes(), 0, 0))
-
     def batched(state: FitState, embedder_b: TaskEmbedder,
                 consts_b: FitConsts, rng):
+        vstep = jax.vmap(single,
+                         in_axes=(0, 0, _embedder_batch_axes(embedder_b),
+                                  0, 0))
         n = jax.tree.leaves(state.params)[0].shape[0]
         # every image sees the SAME step key — exactly what the sequential
         # path does (each fit_image consumes the same PRNGKey(seed) chain);
@@ -112,15 +135,35 @@ def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
 def make_batched_fit_block(cfg, task: TaskSpec, model, percep, contextual,
                            style, tx, patch_num: int, patch_size: int,
                            block: int, mesh: Optional[Mesh] = None,
-                           images_axis: str = 'images'):
+                           images_axis: str = 'images',
+                           grid_hw: Optional[Tuple[int, int]] = None):
     """`block` batched steps per device call via lax.scan — the multi-image
     analogue of trainer.make_fit_block. Essential behind a relay tunnel:
-    per-call dispatch latency (~1s) otherwise dominates throughput."""
+    per-call dispatch latency (~1s) otherwise dominates throughput.
+
+    grid_hw: the bucket canvas dims; enables cfg.embed_table here (the
+    per-image tables are built once per block inside the jit and gathered
+    per step — same gating as trainer.make_fit_block: off under the warp
+    field / tiny blocks)."""
     inner = make_batched_fit_step(cfg, task, model, percep, contextual, style,
                                   tx, patch_num, patch_size, mesh=None,
                                   images_axis=images_axis)
 
+    from ..nn.warp import make_warp
+    table_dtype = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}.get(
+        getattr(cfg, 'embed_table', ''))
+    use_table = (table_dtype is not None and grid_hw is not None and
+                 block >= 8 and make_warp(cfg) is None)
+
     def scan_block(state, embedder_b, consts_b, rng):
+        if use_table:
+            embedder_b = make_batched_table(embedder_b, grid_hw, table_dtype)
+            if mesh is not None:
+                # each chip materialises only its images' tables
+                embedder_b = embedder_b._replace(
+                    table=jax.lax.with_sharding_constraint(
+                        embedder_b.table,
+                        NamedSharding(mesh, P(images_axis))))
         keys = jax.random.split(rng, block)
 
         def body(st, k):

@@ -189,7 +189,8 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                 return stage_fns[(ps_, pn_)]
             bfn = make_batched_fit_block(bcfg, task, model, comps.percep,
                                          comps.contextual, comps.style, tx,
-                                         pn_, ps_, blk, mesh=mesh)
+                                         pn_, ps_, blk, mesh=mesh,
+                                         grid_hw=(h, w))
             single = make_batched_fit_step(bcfg, task, model, comps.percep,
                                            comps.contextual, comps.style, tx,
                                            pn_, ps_, mesh=mesh)

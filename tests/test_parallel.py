@@ -530,3 +530,35 @@ def test_fit_images_chain_matches_sequential_across_decay_boundaries():
                     jax.tree.leaves(bat.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_fit_images_embed_table_matches_off():
+    """cfg.embed_table in the BATCHED runner: per-image embedding tables
+    are built over the shared BUCKET canvas grid while their values keep
+    each image's TIGHT-canvas normalisation (the canvas-leak rule). The
+    fits must match the on-the-fly batched path to trig-noise tolerance —
+    including the smaller image, whose table rows beyond its tight canvas
+    exist (bucket index space) but are never gathered."""
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False)
+    d1 = dataclasses.replace(tiny_data(40, 48), patch_size=16)
+    d2 = dataclasses.replace(tiny_data(36, 44), patch_size=16)
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+    base = fit_images(cfg, COMPLETION_TASK, [d1, d2], n_iters=16, mesh=mesh,
+                      canvas_multiple=16, block=8)
+    tab = fit_images(replace(cfg, embed_table='float32'), COMPLETION_TASK,
+                     [d1, d2], n_iters=16, mesh=mesh, canvas_multiple=16,
+                     block=8)
+    for s_base, s_tab in zip(base, tab):
+        for a, b in zip(jax.tree.leaves(s_base.params),
+                        jax.tree.leaves(s_tab.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
