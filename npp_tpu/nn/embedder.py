@@ -189,7 +189,11 @@ class TableEmbedder(NamedTuple):
 
     Every coordinate the fit step embeds is an INTEGER canvas pixel
     (pool_train / sampler fake_coords are int32, the renderer walks the
-    meshgrid), so `table[y*W + x]` evaluates the identical function — the
+    meshgrid) and IN-BOUNDS (models/sampler.py::_valid_centroids keeps
+    patch centers >= half from every border, so patch grids never leave
+    the canvas — jnp.take's clamping can therefore never silently diverge
+    from the trig chain), so `table[y*W + x]` evaluates the identical
+    function — the
     trig chain runs once per canvas position instead of once per sampled
     row per step. Meant to be constructed INSIDE a jitted block (the table
     then lives only for that call and is never baked into an executable as
