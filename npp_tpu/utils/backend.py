@@ -5,8 +5,9 @@ The shared-TPU pool can refuse or stall backend setup for many minutes
 A failed in-process init is NOT retryable — jax caches the dead backend —
 so probe in a fresh SUBPROCESS with a bounded timeout and retry with
 backoff before the real process touches jax. The probe claims no pool
-grant (trivial client init only). Used by bench.py and every TPU-facing
-script; no reference equivalent (single-tenant GPU there).
+grant (trivial client init only). Call wait_for_backend() at the top of
+any TPU entry point (bench.py, run_suite, the A/B and eval scripts do);
+no reference equivalent (single-tenant GPU there).
 """
 from __future__ import annotations
 

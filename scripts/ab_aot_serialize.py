@@ -143,5 +143,7 @@ if __name__ == '__main__':
                     choices=['tiny', 'save', 'load', 'cold'])
     ap.add_argument('--path', default='/tmp/aot_fit_block.pkl')
     a = ap.parse_args()
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend()   # the shared pool can stall backend init for minutes
     {'tiny': mode_tiny, 'save': lambda: mode_save(a.path),
      'load': lambda: mode_load(a.path), 'cold': mode_cold}[a.mode]()

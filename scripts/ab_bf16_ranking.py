@@ -19,6 +19,9 @@ def main():
     datadir = sys.argv[1] if len(sys.argv) > 1 else \
         '/root/reference/data/completion/input/20150911134724-de45790e'
 
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend()   # the shared pool can stall backend init for minutes
+
     from npp_tpu.config import SearchConfig, replace
     from npp_tpu.losses.contextual import ContextualLoss
     from npp_tpu.losses.lpips import LPIPS

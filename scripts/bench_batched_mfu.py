@@ -35,6 +35,9 @@ def main():
     ap.add_argument('--aot-dir', default='/tmp/npp_bench_mfu_aot')
     a = ap.parse_args()
 
+    from npp_tpu.utils.backend import wait_for_backend
+    wait_for_backend()   # the shared pool can stall backend init for minutes
+
     import jax
     import bench
     from npp_tpu.config import CompletionConfig, replace

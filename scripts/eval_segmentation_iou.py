@@ -135,9 +135,11 @@ def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
                               ('+protect', {'seg_refine_protect': True}),
                               ('+hyst.5', {'seg_refine_hysteresis': 0.5}),
                               ('+hyst.7', {'seg_refine_hysteresis': 0.7})):
-                vcfg = replace(cfg, seg_color_criterion=col,
-                               seg_refine_protect=False,
-                               seg_refine_hysteresis=1.0, **kw)
+                base = dict(seg_color_criterion=col,
+                            seg_refine_protect=False,
+                            seg_refine_hysteresis=1.0)
+                base.update(kw)   # variant keys override the clean base
+                vcfg = replace(cfg, **base)
                 variants[cname + vname] = refine_segmentation(
                     vcfg, data, pred, lp, cache=lp_cache)
     return cfg, last, variants
