@@ -61,6 +61,16 @@ def main():
                     help='override the ranking lockstep-fit budget '
                          '(SearchConfig.N_iters, reference 300) — mainly '
                          'for fast CPU drives')
+    ap.add_argument('--seg-color-criterion', default=None,
+                    choices=['on', 'off'],
+                    help='segmentation refinement periodicity criterion in '
+                         'color (cfg.seg_color_criterion) instead of the '
+                         "reference's grayscale L1 — the measured round-3 "
+                         'winner on synthetic-GT IoU (BASELINE.md)')
+    ap.add_argument('--seg-hysteresis', type=float, default=None,
+                    help='segmentation refinement removal hysteresis '
+                         '(cfg.seg_refine_hysteresis; 1.0 = reference '
+                         'behaviour, 0.5 = measured round-3 best)')
     ap.add_argument('--preset', default=None, choices=['quality'],
                     help="'quality' = the measured round-3 configuration "
                          'that beats TELEA on hole PSNR AND LPIPS on 5/5 '
@@ -68,8 +78,10 @@ def main():
                          'reference iteration budget (so the patch-decay '
                          'stages the reference schedules but never reaches '
                          'actually run; completion task only) + seam-aware '
-                         'residual composite. Explicit --iters-scale/'
-                         '--comp-seam still win.')
+                         'residual composite + the color+hyst0.5 '
+                         'segmentation refinement (best synthetic-GT IoU in '
+                         "the round-3 8-variant sweep). Explicit flags "
+                         '(--iters-scale/--comp-seam/--seg-*) still win.')
     ap.add_argument('--aot-cache', default=os.environ.get(
                         'NPP_TPU_AOT_CACHE', ''),
                     help='directory for serialized compiled executables '
@@ -80,6 +92,11 @@ def main():
     # An explicitly passed value (even the default one) always wins.
     if args.comp_seam is None:
         args.comp_seam = 'residual' if args.preset == 'quality' else 'none'
+    if args.seg_color_criterion is None:
+        args.seg_color_criterion = ('on' if args.preset == 'quality'
+                                    else 'off')
+    if args.seg_hysteresis is None:
+        args.seg_hysteresis = 0.5 if args.preset == 'quality' else 1.0
     if args.iters_scale is None:
         args.iters_scale = 1.0
         quality_scale = args.preset == 'quality'
@@ -96,7 +113,14 @@ def main():
     wait_for_backend()   # the shared pool can stall backend init for minutes
 
     timer = PhaseTimer()
-    summary = {'tasks': {}, 'env': {'devices': None}}
+    summary = {'tasks': {}, 'env': {'devices': None},
+               'options': {'preset': args.preset, 'batched': args.batched,
+                           'iters_scale': args.iters_scale,
+                           'comp_seam': args.comp_seam,
+                           'seg_color_criterion': args.seg_color_criterion,
+                           'seg_hysteresis': args.seg_hysteresis,
+                           'rank_proxy': args.rank_proxy,
+                           'aux_gate_ratio': args.aux_gate_ratio}}
     import jax
     summary['env']['devices'] = [str(d) for d in jax.devices()]
 
@@ -181,6 +205,11 @@ def main():
                 cfg = replace(cfg, aot_cache_dir=args.aot_cache)
             if task == 'completion':
                 cfg = replace(cfg, comp_seam=args.comp_seam)
+            if task == 'segmentation':
+                cfg = replace(
+                    cfg,
+                    seg_color_criterion=args.seg_color_criterion == 'on',
+                    seg_refine_hysteresis=args.seg_hysteresis)
             scale = args.iters_scale
             if quality_scale and task == 'completion':
                 # the measured lever on the one TELEA-PSNR loss: the extended
