@@ -39,7 +39,8 @@ TOPK = 3
 BLOCK = 50            # production scan-block size for the bench
 N_BLOCKS = 6          # measured blocks (300 iters) after 1 warmup block
 N_SINGLE = 30         # individually dispatched steps for latency percentiles
-N_BENCH_CPU = 3
+N_BENCH_CPU = 3       # steps per timed repeat of the CPU control (x2 repeats)
+CPU_THREADS = 8       # pinned torch thread count for the CPU control
 
 
 def _synthetic_data(cfg):
@@ -204,14 +205,20 @@ def bench_tpu() -> dict:
     return diag
 
 
-def bench_torch_cpu() -> float:
+def bench_torch_cpu():
     """The reference's step pattern at identical shapes on host CPU:
     precomputed (N, 1386) embeddings gathered per step, torch NPP-Net D=8
-    W=512, adaptive robust pixel loss, VGG19-relu3_4 contextual patch loss."""
+    W=512, adaptive robust pixel loss, VGG19-relu3_4 contextual patch loss.
+
+    Protocol pinned (VERDICT round-3 weak #5: the 3-step unpinned control
+    swung 2.4x across rounds): fixed torch thread count, one warmup step,
+    then TWO timed repeats of N_BENCH_CPU steps in the same session —
+    returns (mean iter/s, per-repeat list) so the spread is in the diag."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
     torch.manual_seed(0)
+    torch.set_num_threads(CPU_THREADS)
     emb_dim = 1386
     top1 = 462
     n_rand = 32 * 32 * 8
@@ -298,11 +305,14 @@ def bench_torch_cpu() -> float:
         loss.backward()
         opt.step()
 
-    step()
-    t0 = time.time()
-    for _ in range(N_BENCH_CPU):
-        step()
-    return N_BENCH_CPU / (time.time() - t0)
+    step()   # warmup (allocator + thread-pool spin-up)
+    repeats = []
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(N_BENCH_CPU):
+            step()
+        repeats.append(N_BENCH_CPU / (time.time() - t0))
+    return float(np.mean(repeats)), repeats
 
 
 def _log(msg: str) -> None:
@@ -327,10 +337,15 @@ def main():
     diag['mfu'] = round(mfu, 4)
     try:
         _log('measuring torch host-CPU baseline (reference step pattern, '
-             f'{N_BENCH_CPU} steps — several minutes)')
-        cpu_ips = bench_torch_cpu()
+             f'{CPU_THREADS} threads, 2x{N_BENCH_CPU} steps — several '
+             'minutes)')
+        cpu_ips, cpu_reps = bench_torch_cpu()
         vs = tpu_ips / cpu_ips
         diag['torch_cpu_iters_per_sec'] = round(cpu_ips, 4)
+        diag['torch_cpu_repeats'] = [round(r, 4) for r in cpu_reps]
+        diag['torch_cpu_spread_pct'] = round(
+            100.0 * abs(cpu_reps[1] - cpu_reps[0]) /
+            max(cpu_reps), 1)
     except Exception:
         cpu_ips, vs = None, None
     print(json.dumps(diag), file=sys.stderr)

@@ -53,7 +53,7 @@ class BaseConfig:
                                         # thread warms the jitted block; the
                                         # persistent compile cache cannot be
                                         # used through the relay)
-    embed_table: str = ""               # '' | 'float32' | 'bfloat16':
+    embed_table: str = "float32"        # '' | 'float32' | 'bfloat16':
                                         # inside each scan-block, precompute
                                         # the full-canvas embedding table
                                         # ONCE and gather rows per step
@@ -62,8 +62,22 @@ class BaseConfig:
                                         # canvas pixels) — trades ~50x of
                                         # the per-block VPU transcendental
                                         # work for one HBM gather per step.
-                                        # Ignored when warp_field is on
-                                        # (warped coords are non-integer).
+                                        # DEFAULT ON after the round-4
+                                        # hardware A/B: +15.7% step
+                                        # throughput at the flagship config
+                                        # (21.60 -> 24.99 it/s), f32 and
+                                        # bf16 tables identical speed, so
+                                        # the exact f32 gather is default
+                                        # (BASELINE.md). Ignored when
+                                        # warp_field is on (warped coords
+                                        # are non-integer).
+    embed_table_max_mb: int = 2048      # skip the table (fall back to
+                                        # on-the-fly trig) when it would
+                                        # exceed this many MB of HBM —
+                                        # batched runs build B per-image
+                                        # tables over the bucket canvas,
+                                        # which at suite canvases would
+                                        # otherwise reach many GB.
     aot_cache_dir: str = ""             # serialize compiled fit/ranking
                                         # executables here and reload them in
                                         # later sessions (utils/aot.py;

@@ -288,6 +288,13 @@ def make_fit_block(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
     use_table = (table_dtype is not None and block >= 8 and
                  make_warp(cfg) is None and
                  isinstance(embedder, TaskEmbedder))
+    if use_table:
+        # HBM guard: at large canvases the (H*W, D) table outgrows its win
+        # (cfg.embed_table_max_mb) — fall back to the on-the-fly trig chain
+        h_, w_ = embedder.res
+        mb = int(h_) * int(w_) * embedder.out_dim * \
+            jnp.dtype(table_dtype).itemsize / 1e6
+        use_table = mb <= int(getattr(cfg, 'embed_table_max_mb', 2048))
 
     @jax.jit
     def run_block(state: FitState, rng):

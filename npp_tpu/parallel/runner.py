@@ -181,6 +181,20 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
 
         stage_fns: Dict = {}
 
+        # HBM guard for cfg.embed_table (default on, round-4 A/B): B
+        # per-image tables over the bucket canvas; skip the table path when
+        # they would exceed cfg.embed_table_max_mb (concrete dims here —
+        # inside the jitted block the embedder's int leaves are tracers)
+        table_itemsize = {'float32': 4, 'bfloat16': 2}.get(
+            getattr(bcfg, 'embed_table', ''), 0)
+        table_mb = len(embedders) * h * w * embedders[0].out_dim * \
+            table_itemsize / 1e6
+        grid_for_table = (h, w) if table_itemsize and table_mb <= int(
+            getattr(bcfg, 'embed_table_max_mb', 2048)) else None
+        if table_itemsize and grid_for_table is None:
+            print(f'[runner] embed_table skipped: {table_mb:.0f} MB of '
+                  f'tables > embed_table_max_mb', flush=True)
+
         def build(ps_, pn_):
             # cached per stage so the compile-ahead thread and the decay
             # path share ONE jit callable (a rebuilt wrapper would
@@ -190,7 +204,7 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             bfn = make_batched_fit_block(bcfg, task, model, comps.percep,
                                          comps.contextual, comps.style, tx,
                                          pn_, ps_, blk, mesh=mesh,
-                                         grid_hw=(h, w))
+                                         grid_hw=grid_for_table)
             single = make_batched_fit_step(bcfg, task, model, comps.percep,
                                            comps.contextual, comps.style, tx,
                                            pn_, ps_, mesh=mesh)

@@ -203,6 +203,22 @@ class _AotWrapped:
                     self._fns[sig] = fn
         return fn(*args)
 
+    def warm(self, *args) -> bool:
+        """Compile (or load) + persist the executable for these argument
+        AVALS without executing it — args may be jax.ShapeDtypeStruct trees
+        (scripts/warm_aot.py pre-compiles a suite's shape classes so a cold
+        session pays seconds, not 2-7 min relay compiles, per program).
+        Returns True when the entry already existed on disk."""
+        sig = _aval_sig(args)
+        with self._lock:
+            if sig in self._fns:
+                return True
+            path = os.path.join(self._dir,
+                                f'{self._name}-{self._key(args)}.aot')
+            existed = os.path.exists(path)
+            self._fns[sig] = self._resolve(args)
+            return existed
+
 
 def cache_dir_from(cfg) -> Optional[str]:
     """Resolve the configured cache directory: cfg.aot_cache_dir, else the

@@ -33,6 +33,13 @@ def main():
     ap.add_argument('--iters', type=int, default=600)
     ap.add_argument('--warmup-iters', type=int, default=50)
     ap.add_argument('--aot-dir', default='/tmp/npp_bench_mfu_aot')
+    ap.add_argument('--embed-table', default=None,
+                    choices=['', 'float32', 'bfloat16'],
+                    help='override cfg.embed_table for the curve (default: '
+                         'config default)')
+    ap.add_argument('--table-max-mb', type=int, default=None,
+                    help='override cfg.embed_table_max_mb (the HBM guard '
+                         'disables B>1 tables at the default budget)')
     a = ap.parse_args()
 
     from npp_tpu.utils.backend import wait_for_backend
@@ -46,6 +53,10 @@ def main():
     from npp_tpu.parallel.runner import fit_images
 
     cfg = replace(CompletionConfig(), aot_cache_dir=a.aot_dir)
+    if a.embed_table is not None:
+        cfg = replace(cfg, embed_table=a.embed_table)
+    if a.table_max_mb is not None:
+        cfg = replace(cfg, embed_table_max_mb=a.table_max_mb)
     data = bench._synthetic_data(cfg)
     dev = jax.devices()[0]
     peak = bench.peak_bf16_flops(dev.device_kind)

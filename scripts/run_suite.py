@@ -49,6 +49,11 @@ def main():
                          'fit_images) instead of sequentially — per-image '
                          'aux gating rides the bucket keys; post-fit '
                          'eval/refinement runs host-side per image')
+    ap.add_argument('--batched-search', action='store_true',
+                    help='run ALL searches (across tasks) through ONE '
+                         'lockstep (images, candidates) ranking fit '
+                         '(proposal.search.run_search_suite) before the '
+                         'task loop, instead of one search per image')
     ap.add_argument('--comp-seam', default=None,
                     choices=['none', 'residual'],
                     help="completion compositing: 'residual' = seam-aware "
@@ -115,6 +120,7 @@ def main():
     timer = PhaseTimer()
     summary = {'tasks': {}, 'env': {'devices': None},
                'options': {'preset': args.preset, 'batched': args.batched,
+                           'batched_search': args.batched_search,
                            'iters_scale': args.iters_scale,
                            'comp_seam': args.comp_seam,
                            'seg_color_criterion': args.seg_color_criterion,
@@ -160,18 +166,61 @@ def main():
             global_canvas = (-(-hh // mult) * mult, -(-ww // mult) * mult)
             print(f'[suite] global search canvas: {global_canvas}')
 
-    for task in args.tasks.split(','):
+    def list_examples(task):
         in_dir = os.path.join(args.input_root, task, 'input')
         if not os.path.isdir(in_dir):
-            continue
-        det_root = os.path.join(args.out, task, 'detected')
-        res_root = os.path.join(args.out, task, 'results')
-        examples = sorted(
+            return None, []
+        names = sorted(
             n for n in os.listdir(in_dir)
             if os.path.exists(os.path.join(in_dir, n, 'gt_img.png')))
         if args.only:
             subs = [s for s in args.only.split(',') if s]
-            examples = [n for n in examples if any(s in n for s in subs)]
+            names = [n for n in names if any(s in n for s in subs)]
+        return in_dir, names
+
+    def build_scfg(in_dir, det_root, name):
+        scfg = replace(SearchConfig(), datadir=os.path.join(in_dir, name),
+                       outdir=det_root, canvas_override=global_canvas)
+        if args.rank_proxy:
+            scfg = replace(scfg, rank_proxy=args.rank_proxy)
+        if args.rank_iters:
+            scfg = replace(scfg, N_iters=args.rank_iters)
+        if args.aot_cache:
+            scfg = replace(scfg, aot_cache_dir=args.aot_cache)
+        return scfg
+
+    searched = {}   # det_dir -> search record (batched pre-pass)
+    if args.batched_search:
+        pre = []
+        for task in args.tasks.split(','):
+            in_dir, examples = list_examples(task)
+            det_root = os.path.join(args.out, task, 'detected')
+            for name in examples:
+                det_dir = os.path.join(det_root, name)
+                if args.skip_search and os.path.exists(
+                        os.path.join(det_dir, 'config.odgt')):
+                    continue
+                pre.append((det_dir, build_scfg(in_dir, det_root, name)))
+        if pre:
+            from npp_tpu.proposal.search import run_search_suite
+            t0 = time.time()
+            with timer.phase('search_batched'):
+                odgts = run_search_suite([c for _, c in pre], percep=percep,
+                                         contextual=contextual)
+            wall = time.time() - t0
+            print(f'[suite] batched search: {len(pre)} images in '
+                  f'{wall:.1f}s')
+            for (det_dir, _), odgt in zip(pre, odgts):
+                searched[det_dir] = {
+                    'search_s_batched_total': round(wall, 1),
+                    'top_periods': odgt['selected_periods'][:3]}
+
+    for task in args.tasks.split(','):
+        in_dir, examples = list_examples(task)
+        if in_dir is None:
+            continue
+        det_root = os.path.join(args.out, task, 'detected')
+        res_root = os.path.join(args.out, task, 'results')
         summary['tasks'][task] = {}
         batched = args.batched
         pending = []
@@ -179,16 +228,11 @@ def main():
         for name in examples:
             rec = {}
             det_dir = os.path.join(det_root, name)
-            if not args.skip_search or not os.path.exists(
+            if det_dir in searched:
+                rec.update(searched[det_dir])
+            elif not args.skip_search or not os.path.exists(
                     os.path.join(det_dir, 'config.odgt')):
-                scfg = replace(SearchConfig(),
-                               datadir=os.path.join(in_dir, name),
-                               outdir=det_root,
-                               canvas_override=global_canvas)
-                if args.rank_proxy:
-                    scfg = replace(scfg, rank_proxy=args.rank_proxy)
-                if args.rank_iters:
-                    scfg = replace(scfg, N_iters=args.rank_iters)
+                scfg = build_scfg(in_dir, det_root, name)
                 t0 = time.time()
                 with timer.phase(f'search/{task}'):
                     from npp_tpu.proposal.search import run_search

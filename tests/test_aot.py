@@ -219,3 +219,35 @@ def test_fit_image_uses_cache(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(r1.state.params),
                     jax.tree.leaves(r3.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warm_compiles_without_executing(tmp_path, monkeypatch):
+    """warm() must compile + persist from ShapeDtypeStruct avals alone
+    (scripts/warm_aot.py pre-compiles suite shape classes); the later real
+    call must LOAD the in-memory executable, and a second warm must report
+    the cache hit."""
+    monkeypatch.setenv('NPP_TPU_AOT_SYNC', '1')
+    calls = []
+
+    def fn(a):
+        calls.append(1)   # traced once at compile; never re-traced
+        return a * 3.0
+
+    f = jax.jit(fn)
+    logs = []
+    w = aot._AotWrapped(f, 'warm', str(tmp_path), log=logs.append)
+    sds = jax.ShapeDtypeStruct((3, 4), np.float32)
+    hit = w.warm(sds)
+    assert hit is False
+    files = [f_ for f_ in os.listdir(tmp_path) if f_.endswith('.aot')]
+    assert len(files) == 1
+    assert any('compiled' in m for m in logs)
+
+    x = jnp.arange(12.0).reshape(3, 4)
+    out = np.asarray(w(x))
+    np.testing.assert_allclose(out, np.asarray(x) * 3.0)
+    assert len(calls) == 1   # no retrace on the real call
+
+    # a fresh wrapper's warm must hit the disk entry
+    w2 = aot._AotWrapped(f, 'warm', str(tmp_path))
+    assert w2.warm(sds) is True

@@ -552,8 +552,10 @@ def test_fit_images_embed_table_matches_off():
     d1 = dataclasses.replace(tiny_data(40, 48), patch_size=16)
     d2 = dataclasses.replace(tiny_data(36, 44), patch_size=16)
     mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
-    base = fit_images(cfg, COMPLETION_TASK, [d1, d2], n_iters=16, mesh=mesh,
-                      canvas_multiple=16, block=8)
+    # embed_table defaults ON since round 4 — pin the off arm explicitly
+    base = fit_images(replace(cfg, embed_table=''), COMPLETION_TASK,
+                      [d1, d2], n_iters=16, mesh=mesh, canvas_multiple=16,
+                      block=8)
     tab = fit_images(replace(cfg, embed_table='float32'), COMPLETION_TASK,
                      [d1, d2], n_iters=16, mesh=mesh, canvas_multiple=16,
                      block=8)
@@ -562,3 +564,13 @@ def test_fit_images_embed_table_matches_off():
                         jax.tree.leaves(s_tab.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-4)
+    # HBM guard: a budget below the table size must fall back to the
+    # on-the-fly chain — bit-identical to embed_table=''
+    guarded = fit_images(replace(cfg, embed_table='float32',
+                                 embed_table_max_mb=0), COMPLETION_TASK,
+                         [d1, d2], n_iters=16, mesh=mesh, canvas_multiple=16,
+                         block=8)
+    for s_base, s_g in zip(base, guarded):
+        for a, b in zip(jax.tree.leaves(s_base.params),
+                        jax.tree.leaves(s_g.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -283,3 +283,84 @@ def test_pseudo_split_independent_of_ranking_canvas(tmp_path, monkeypatch):
 
     assert a_canvas == b_canvas == (128, 128)  # per-image, never the override
     np.testing.assert_array_equal(a_val, b_val)
+
+
+def test_rank_proposals_suite_matches_sequential():
+    """ONE lockstep (images, candidates) fit must reproduce each image's
+    sequential ranking: same key chain, per-image pools/normalisation as
+    arguments, Adam elementwise => independent slots (VERDICT round-3 #1)."""
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.losses.contextual import ContextualLoss
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.proposal.ranking import rank_proposals, rank_proposals_suite
+
+    cfg = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=128,
+                  N_iters=40)
+    percep, cx = LPIPS(net='vgg'), ContextualLoss(use_vgg=True)
+
+    imgs = [synth(64, 72), synth(64, 88, py=9.0, px=21.0)]
+    items, seq = [], []
+    shared = (64, 88)
+    for img in imgs:
+        h, w = img.shape[:2]
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing='ij')
+        val_mask = (yy > 24) & (yy < 40) & (xx > 28) & (xx < 44)
+        i_val = np.stack(np.nonzero(val_mask), 1)
+        i_train = np.stack(np.nonzero(~val_mask), 1)
+        angles = [[90.0, 180.0], [90.0, 180.0], [90.0, 180.0]]
+        periods = [[16.0, 12.0], [7.0, 5.0], [11.0, 23.0]]
+        d = rank_proposals(cfg, img, i_train, i_val, angles, periods,
+                           percep, cx, norm_res=(h, w))
+        seq.append(d)
+        pad = np.pad(img, ((0, shared[0] - h), (0, shared[1] - w), (0, 0)))
+        items.append({'masked_img': pad, 'i_train': i_train, 'i_val': i_val,
+                      'all_angles': angles, 'all_periods': periods,
+                      'norm_res': (h, w)})
+
+    ranked = rank_proposals_suite(cfg, items, percep, cx)
+    assert len(ranked) == 2
+    for (d_b, _), d_s in zip(ranked, seq):
+        np.testing.assert_allclose(d_b, d_s, rtol=2e-3, atol=2e-4)
+        assert list(np.argsort(d_b)) == list(np.argsort(d_s))
+
+
+def test_run_search_suite_matches_run_search(tmp_path):
+    """run_search_suite must produce the same odgt top-K as per-image
+    run_search (suite-canvas padding provably distance-invariant)."""
+    import cv2
+    import json
+    from npp_tpu.config import SearchConfig, replace
+    from npp_tpu.proposal.search import run_search, run_search_suite
+
+    names = ['ex1', 'ex2']
+    specs = [(80, 88, 12.0, 16.0), (72, 96, 10.0, 18.0)]
+    for name, (h, w, py, px) in zip(names, specs):
+        img = synth(h, w, py=py, px=px)
+        mask = np.ones(img.shape[:2])
+        mask[30:40, 34:46] = 0
+        d = tmp_path / 'in' / name
+        os.makedirs(d)
+        cv2.imwrite(str(d / 'gt_img.png'), np.uint8(img[..., ::-1] * 255))
+        cv2.imwrite(str(d / 'masked_img.png'),
+                    np.uint8((img * mask[..., None])[..., ::-1] * 255))
+        cv2.imwrite(str(d / 'unknown_mask.png'), np.uint8(mask * 255))
+        cv2.imwrite(str(d / 'valid_mask.png'),
+                    np.uint8(np.ones(img.shape[:2]) * 255))
+
+    base = replace(SearchConfig(), netdepth=2, netwidth=32, N_rand=128,
+                   N_iters=30, search_range=(2, 6, 2))
+    seq_odgts = [run_search(replace(base, datadir=str(tmp_path / 'in' / n),
+                                    outdir=str(tmp_path / 'det_seq')))
+                 for n in names]
+    bat_odgts = run_search_suite(
+        [replace(base, datadir=str(tmp_path / 'in' / n),
+                 outdir=str(tmp_path / 'det_bat')) for n in names])
+    for n, s, b in zip(names, seq_odgts, bat_odgts):
+        assert s['selected_periods'][:3] == b['selected_periods'][:3], n
+        assert s['selected_angles'][:3] == b['selected_angles'][:3], n
+        np.testing.assert_allclose(s['distances'], b['distances'],
+                                   rtol=2e-3, atol=2e-4)
+        # the batched odgt must be loadable from disk like the sequential
+        rec = json.loads(open(os.path.join(
+            str(tmp_path / 'det_bat'), n, 'config.odgt')).readline())
+        assert len(rec['selected_periods']) >= 1

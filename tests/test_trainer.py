@@ -133,7 +133,9 @@ def test_embed_table_block_matches_on_the_fly():
     idx = coords[:, 0].astype(int) * 48 + coords[:, 1].astype(int)
     np.testing.assert_allclose(np.asarray(table)[idx], direct, atol=3e-5)
 
-    ref_state, ref_m = _run_block(tiny_cfg(), COMPLETION_TASK, data)
+    # embed_table defaults ON since round 4 — pin the off arm explicitly
+    ref_state, ref_m = _run_block(tiny_cfg(embed_table=''), COMPLETION_TASK,
+                                  data)
     tab_state, tab_m = _run_block(cfg, COMPLETION_TASK, data)
     for a, b in zip(jax.tree.leaves(ref_state.params),
                     jax.tree.leaves(tab_state.params)):
@@ -149,7 +151,7 @@ def test_embed_table_bf16_close_and_warp_gated():
     table is silently ignored (warped coords are non-integer) — the block
     must still run and match the no-table warp path exactly."""
     data = tiny_data()
-    ref_state, _ = _run_block(tiny_cfg(), COMPLETION_TASK, data)
+    ref_state, _ = _run_block(tiny_cfg(embed_table=''), COMPLETION_TASK, data)
     bf_state, _ = _run_block(tiny_cfg(embed_table='bfloat16'),
                              COMPLETION_TASK, data)
     for a, b in zip(jax.tree.leaves(ref_state.params),
@@ -163,6 +165,20 @@ def test_embed_table_bf16_close_and_warp_gated():
                              COMPLETION_TASK, data, block=8)
     for a, b in zip(jax.tree.leaves(warp_ref.params),
                     jax.tree.leaves(warp_tab.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_embed_table_hbm_guard():
+    """embed_table_max_mb below the table size must fall back to the
+    on-the-fly chain — bit-identical to embed_table=''."""
+    data = tiny_data()
+    off_state, _ = _run_block(tiny_cfg(embed_table=''), COMPLETION_TASK,
+                              data)
+    g_state, _ = _run_block(tiny_cfg(embed_table='float32',
+                                     embed_table_max_mb=0),
+                            COMPLETION_TASK, data)
+    for a, b in zip(jax.tree.leaves(off_state.params),
+                    jax.tree.leaves(g_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
