@@ -239,6 +239,13 @@ class SegmentationConfig(FitConfig):
     # components the fit fully explains are still removed whole
     # (models/segmentation.py::refine_segmentation).
     seg_refine_protect: bool = False
+    # TPU-repo addition: spatial-LPIPS autocalibration mode. 'auto'
+    # (default) rescales the per-layer maps per image ONLY when the alex
+    # tower runs on non-pretrained (analytic) weights — the reference's
+    # lpips_thresh=0.3 is calibrated for the pretrained tower. 'off' =
+    # reference-exact thresholds regardless (calibrated towers, parity
+    # fixtures); 'on' = always rescale.
+    seg_autocal: str = "auto"
     # TPU-repo addition (1.0 = reference behaviour): hysteresis factor for
     # RECLASSIFYING init non-periodic pixels as periodic — removal demands
     # l1/lpips below thresh*factor (<1 = stricter), while additions keep

@@ -65,11 +65,20 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
     if cache is not None and 'per_layer' in cache:
         per_layer = cache['per_layer']
     else:
-        _, per_layer = lpips_alex(
+        val, per_layer = lpips_alex(
             jnp.asarray(pred_gray[None], jnp.float32),
             jnp.asarray(blur_gray[None], jnp.float32),
             use_robust=False, normalize=True, spatial=True,
             ret_per_layer=True)
+        # Reference quirk mirrored for parity (externel_lib/lpips/
+        # lpips.py:127-129): `val = res[0]; val += res[l]` accumulates IN
+        # PLACE, aliasing the returned per-layer list's first entry to the
+        # TOTAL map. With the shipped default lpips_layers=1
+        # (arg_config.py:221-224) the reference criterion therefore
+        # thresholds the ALL-LAYER sum, not layer 0 — verified against a
+        # reference-executed golden (tests/test_pipeline_parity.py::
+        # test_seg_criterion_parity_vs_reference).
+        per_layer = [val] + list(per_layer[1:])
         if cache is not None:
             cache['per_layer'] = per_layer
 
@@ -78,10 +87,16 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
     # torchvision in the environment) the spatial maps are uncalibrated, so
     # rescale them per image: the 95th percentile of the map over the
     # well-fit periodic train region maps to half the threshold. With
-    # converted pretrained weights this branch is inactive.
-    from ..nn.pretrained import weight_reports
-    rep = weight_reports().get('alexnet_tv')
-    autocal = rep is not None and not rep.pretrained
+    # converted pretrained weights this branch is inactive;
+    # cfg.seg_autocal ('auto'|'off'|'on') overrides the automatic choice
+    # (parity fixtures run 'off' to assert reference-exact semantics).
+    autocal_mode = getattr(cfg, 'seg_autocal', 'auto')
+    if autocal_mode == 'auto':
+        from ..nn.pretrained import weight_reports
+        rep = weight_reports().get('alexnet_tv')
+        autocal = rep is not None and not rep.pretrained
+    else:
+        autocal = autocal_mode == 'on'
     periodic_ref = (data.mask[..., 0] > 0.5) & (valid[..., 0] > 0.5)
 
     # Hysteresis (cfg-gated, 1.0 = reference behaviour): REMOVING an init

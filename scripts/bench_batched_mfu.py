@@ -40,6 +40,9 @@ def main():
     ap.add_argument('--table-max-mb', type=int, default=None,
                     help='override cfg.embed_table_max_mb (the HBM guard '
                          'disables B>1 tables at the default budget)')
+    ap.add_argument('--control', action='store_true',
+                    help='first measure the single-image blocked fit path '
+                         'in-process (the session pool-slice anchor)')
     a = ap.parse_args()
 
     from npp_tpu.utils.backend import wait_for_backend
@@ -74,6 +77,35 @@ def main():
           f'flops/img-step={flops_step / 1e9:.1f} GFLOP',
           file=sys.stderr, flush=True)
 
+    # in-process control: the single-image production block path at the
+    # same config — anchors the curve against the session's delivered
+    # pool time-slice (absolute rates vary 2-3x across processes;
+    # BASELINE.md variance accounting)
+    control = None
+    if a.control:
+        from npp_tpu.models.trainer import init_fit_state as _ifs, \
+            make_fit_block
+        from npp_tpu.models.pipeline import make_fit_consts
+        st, tx = _ifs(cfg, COMPLETION_TASK, comps.model, comps.embedder,
+                      jax.random.PRNGKey(0), comps.percep, comps.style)
+        blk = make_fit_block(cfg, COMPLETION_TASK, comps.model,
+                             comps.embedder,
+                             make_fit_consts(cfg, COMPLETION_TASK, data,
+                                             bench.PATCH_SIZE),
+                             comps.percep, comps.contextual, comps.style,
+                             tx, bench.PATCH_NUM, bench.PATCH_SIZE, 50)
+        rng = jax.random.PRNGKey(1)
+        st, _ = blk(st, rng)
+        jax.block_until_ready(st.params)
+        t0 = time.time()
+        for _ in range(4):
+            rng, k = jax.random.split(rng)
+            st, _ = blk(st, k)
+        jax.block_until_ready(st.params)
+        control = round(200 / (time.time() - t0), 2)
+        print(f'[mfu] control single-image blocked path: {control} it/s',
+              file=sys.stderr, flush=True)
+
     mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
     rows = []
     for b in [int(x) for x in a.batch_sizes.split(',')]:
@@ -103,6 +135,7 @@ def main():
         print(f'[mfu] {row}', file=sys.stderr, flush=True)
 
     print(json.dumps({'iters': a.iters, 'device': dev.device_kind,
+                      'control_single_image_iters_per_sec': control,
                       'flops_per_image_step_gflop': round(flops_step / 1e9, 1),
                       'rows': rows}))
 

@@ -262,7 +262,13 @@ def test_refine_hysteresis_separates_erosion_from_overshoot():
     h, w = 128, 128
     blur = rng.rand(h, w, 3) * 0.05 + 0.5
     pred = blur.copy()
-    cfg = SegmentationConfig()
+    # isolate the HYSTERESIS mechanics on the L1 criterion: the LPIPS map
+    # is now the reference's all-layer sum (the round-4 parity fix), whose
+    # deep-layer upsampled receptive fields bleed tens of px past the band
+    # edge — a non-binding lpips_thresh (with autocal off, which would
+    # rescale the map back up to it) keeps criterion 2 out of the way
+    cfg = replace(SegmentationConfig(), lpips_thresh=100.0,
+                  seg_autocal='off')
     # blob core: way over thresh (stays non-periodic under everything)
     pred[40:60, 40:60] += 0.6
     # boundary band: error just UNDER the l1 threshold (gray delta ~0.8*t)
