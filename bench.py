@@ -205,6 +205,44 @@ def bench_tpu() -> dict:
     return diag
 
 
+def bench_batched(flops_step: float, peak: float) -> dict:
+    """Aggregate-MFU of the images-axis batched runner at the measured-best
+    flagship batched point (B=3, bf16 embedding tables — the round-4 B-sweep
+    winner, results_round4.json; the f32-table total 3.3 GB busts the HBM
+    guard at B=3, bf16's 1.6 GB fits the default budget). One warmup call
+    compiles/loads (AOT cache at NPP_TPU_AOT_CACHE or /tmp/npp_bench_mfu_aot),
+    one timed call measures. Disable with NPP_BENCH_BATCHED=0."""
+    import jax
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+
+    b, iters = 3, 300
+    cfg = replace(CompletionConfig(), embed_table='bfloat16',
+                  aot_cache_dir=os.environ.get('NPP_TPU_AOT_CACHE',
+                                               '/tmp/npp_bench_mfu_aot'))
+    datas = [_synthetic_data(cfg)] * b
+    mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    _log(f'batched segment: B={b} warmup (compile or AOT load)')
+    t0 = time.time()
+    fit_images(cfg, COMPLETION_TASK, datas, n_iters=50, mesh=mesh,
+               canvas_multiple=64, block=50)
+    warm_s = round(time.time() - t0, 1)
+    _log(f'batched warmup {warm_s}s; measuring {iters} iters x {b} images')
+    t0 = time.time()
+    fit_images(cfg, COMPLETION_TASK, datas, n_iters=iters, mesh=mesh,
+               canvas_multiple=64, block=50)
+    wall = time.time() - t0
+    agg = b * iters / wall
+    achieved = agg * flops_step
+    return {'batched_b': b, 'batched_warmup_s': warm_s,
+            'batched_wall_s': round(wall, 1),
+            'batched_aggregate_image_iters_per_sec': round(agg, 2),
+            'batched_achieved_tflops': round(achieved / 1e12, 2),
+            'mfu_batched': round(achieved / peak, 4)}
+
+
 def bench_torch_cpu():
     """The reference's step pattern at identical shapes on host CPU:
     precomputed (N, 1386) embeddings gathered per step, torch NPP-Net D=8
@@ -335,6 +373,17 @@ def main():
     mfu = achieved / (diag['peak_bf16_tflops'] * 1e12)
     diag['achieved_tflops'] = round(achieved / 1e12, 2)
     diag['mfu'] = round(mfu, 4)
+    batched = {}
+    if os.environ.get('NPP_BENCH_BATCHED', '1') != '0':
+        try:
+            batched = bench_batched(flops_step,
+                                    diag['peak_bf16_tflops'] * 1e12)
+            diag.update(batched)
+            _log(f'batched B={batched["batched_b"]}: '
+                 f'{batched["batched_aggregate_image_iters_per_sec"]} '
+                 f'img-it/s, MFU {batched["mfu_batched"]}')
+        except Exception as e:
+            _log(f'batched segment failed (non-fatal): {e!r}')
     try:
         _log('measuring torch host-CPU baseline (reference step pattern, '
              f'{CPU_THREADS} threads, 2x{N_BENCH_CPU} steps — several '
@@ -349,14 +398,19 @@ def main():
     except Exception:
         cpu_ips, vs = None, None
     print(json.dumps(diag), file=sys.stderr)
-    print(json.dumps({
+    out = {
         'metric': 'completion_fit_iters_per_sec',
         'value': round(tpu_ips, 3),
         'unit': 'iter/s',
         'vs_baseline': round(vs, 2) if vs else None,
         'achieved_tflops': round(achieved / 1e12, 2),
         'mfu': round(mfu, 4),
-    }))
+    }
+    if batched:
+        out['mfu_batched'] = batched['mfu_batched']
+        out['batched_aggregate_image_iters_per_sec'] = \
+            batched['batched_aggregate_image_iters_per_sec']
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -77,7 +77,27 @@ class BaseConfig:
                                         # batched runs build B per-image
                                         # tables over the bucket canvas,
                                         # which at suite canvases would
-                                        # otherwise reach many GB.
+                                        # otherwise reach many GB. The
+                                        # round-4 B-sweep grounds the cap:
+                                        # bf16 tables at B=8 on the 384x512
+                                        # bucket exceeded HBM at compile
+                                        # (results_round4.json).
+    embed_table_degrade: bool = False   # when the f32 table would bust
+                                        # embed_table_max_mb but a bf16 one
+                                        # fits, build the table in bf16
+                                        # instead of falling back to the
+                                        # trig chain. OFF by default: bf16
+                                        # table values quantize the
+                                        # embedding (beyond float
+                                        # reassociation), so the batched
+                                        # path's sequential-equivalence and
+                                        # the reference-faithful f32 chain
+                                        # only bend when asked. Motivation:
+                                        # the round-4 B-sweep's bf16-table
+                                        # arms led the no-table arms at
+                                        # B=3/5 (cross-process, pool-slice
+                                        # confounded — adopt as default
+                                        # only after a same-session A/B).
     aot_cache_dir: str = ""             # serialize compiled fit/ranking
                                         # executables here and reload them in
                                         # later sessions (utils/aot.py;

@@ -294,7 +294,15 @@ def make_fit_block(cfg, task: TaskSpec, model, embedder, consts: FitConsts,
         h_, w_ = embedder.res
         mb = int(h_) * int(w_) * embedder.out_dim * \
             jnp.dtype(table_dtype).itemsize / 1e6
-        use_table = mb <= int(getattr(cfg, 'embed_table_max_mb', 2048))
+        max_mb = int(getattr(cfg, 'embed_table_max_mb', 2048))
+        use_table = mb <= max_mb
+        if (not use_table and table_dtype == jnp.float32 and
+                getattr(cfg, 'embed_table_degrade', False) and
+                mb / 2 <= max_mb):
+            # cfg-gated bf16 fallback (quantizes the embedding values;
+            # see config.embed_table_degrade for the adoption bar)
+            table_dtype = jnp.bfloat16
+            use_table = True
 
     @jax.jit
     def run_block(state: FitState, rng):

@@ -189,9 +189,20 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
             getattr(bcfg, 'embed_table', ''), 0)
         table_mb = len(embedders) * h * w * embedders[0].out_dim * \
             table_itemsize / 1e6
-        grid_for_table = (h, w) if table_itemsize and table_mb <= int(
-            getattr(bcfg, 'embed_table_max_mb', 2048)) else None
-        if table_itemsize and grid_for_table is None:
+        max_mb = int(getattr(bcfg, 'embed_table_max_mb', 2048))
+        grid_for_table = (h, w) if table_itemsize and table_mb <= max_mb \
+            else None
+        if (table_itemsize == 4 and grid_for_table is None and
+                getattr(bcfg, 'embed_table_degrade', False) and
+                table_mb / 2 <= max_mb):
+            # cfg-gated: halve the table bytes instead of losing it entirely
+            # (bf16 values quantize the embedding, so this bends the batched
+            # path's sequential-equivalence — see config.embed_table_degrade)
+            bcfg = dataclasses.replace(bcfg, embed_table='bfloat16')
+            grid_for_table = (h, w)
+            print(f'[runner] embed_table degraded to bfloat16: '
+                  f'{table_mb:.0f} MB f32 > {max_mb} MB budget', flush=True)
+        elif table_itemsize and grid_for_table is None:
             print(f'[runner] embed_table skipped: {table_mb:.0f} MB of '
                   f'tables > embed_table_max_mb', flush=True)
 

@@ -574,3 +574,23 @@ def test_fit_images_embed_table_matches_off():
         for a, b in zip(jax.tree.leaves(s_base.params),
                         jax.tree.leaves(s_g.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # embed_table_degrade: a budget between the bf16 and f32 TOTAL table
+    # sizes (B images over the bucket canvas) must take the bf16-table
+    # path — bit-identical to an explicit embed_table='bfloat16' run
+    from npp_tpu.models.pipeline import build_components
+    out_dim = build_components(cfg, d1, COMPLETION_TASK).embedder.out_dim
+    f32_mb = 2 * 48 * 48 * out_dim * 4 / 1e6
+    mid_mb = max(1, int(-(-f32_mb // 2)))
+    assert f32_mb > mid_mb >= f32_mb / 2
+    degraded = fit_images(replace(cfg, embed_table='float32',
+                                  embed_table_max_mb=mid_mb,
+                                  embed_table_degrade=True),
+                          COMPLETION_TASK, [d1, d2], n_iters=16, mesh=mesh,
+                          canvas_multiple=16, block=8)
+    bf16 = fit_images(replace(cfg, embed_table='bfloat16'), COMPLETION_TASK,
+                      [d1, d2], n_iters=16, mesh=mesh, canvas_multiple=16,
+                      block=8)
+    for s_d, s_b in zip(degraded, bf16):
+        for a, b in zip(jax.tree.leaves(s_d.params),
+                        jax.tree.leaves(s_b.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -182,6 +182,40 @@ def test_embed_table_hbm_guard():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_embed_table_degrade_bf16_fallback():
+    """cfg.embed_table_degrade: when the f32 table busts the budget but a
+    bf16 one fits, the block must take the bf16-table path (bit-identical
+    to an explicit embed_table='bfloat16' run); with degrade OFF the same
+    budget must fall back to on-the-fly trig (bit-identical to table '')."""
+    data = tiny_data()
+    cfg0 = tiny_cfg(embed_table='float32')
+    comps = build_components(cfg0, data, COMPLETION_TASK)
+    h, w = comps.embedder.res
+    f32_mb = int(h) * int(w) * comps.embedder.out_dim * 4 / 1e6
+    # budget between the bf16 and f32 table sizes (ceil so bf16 fits)
+    mid_mb = max(1, int(-(-f32_mb // 2)))
+    assert f32_mb > mid_mb >= f32_mb / 2
+
+    deg_state, _ = _run_block(tiny_cfg(embed_table='float32',
+                                       embed_table_max_mb=mid_mb,
+                                       embed_table_degrade=True),
+                              COMPLETION_TASK, data)
+    bf_state, _ = _run_block(tiny_cfg(embed_table='bfloat16'),
+                             COMPLETION_TASK, data)
+    for a, b in zip(jax.tree.leaves(deg_state.params),
+                    jax.tree.leaves(bf_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    nodeg_state, _ = _run_block(tiny_cfg(embed_table='float32',
+                                         embed_table_max_mb=mid_mb),
+                                COMPLETION_TASK, data)
+    off_state, _ = _run_block(tiny_cfg(embed_table=''), COMPLETION_TASK,
+                              data)
+    for a, b in zip(jax.tree.leaves(nodeg_state.params),
+                    jax.tree.leaves(off_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_no_pix_loss_flag():
     cfg = tiny_cfg(no_pix_loss=True, use_contextual_loss=True)
     data = tiny_data()
