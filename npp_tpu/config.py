@@ -33,6 +33,23 @@ class BaseConfig:
     activation: str = "snake"        # 'snake' | 'relu'
     normalize_type: int = 1          # 1: sigmoid -> [0,1]; 2: tanh -> [-1,1]
     loss_type: str = "robust_loss_adaptive"  # | 'l2' | 'robust_loss'
+    adaptive_scale_lo: float = 1e-5     # lower bound of the adaptive robust
+                                        # pixel loss's scale c (reference
+                                        # default, adaptive.py:164). The NLL
+                                        # rewards shrinking c as the fit
+                                        # tightens (the measured pixel-loss
+                                        # value declines linearly forever);
+                                        # past the reference's 2001-iter
+                                        # budget c can ride under the
+                                        # achievable residual floor and blow
+                                        # up the fit (measured: de45790e at
+                                        # 3x budget, train PSNR 47 -> 6 in
+                                        # the last 500 iters,
+                                        # results_round4.json). Extended
+                                        # schedules should raise this to
+                                        # ~0.01 (half an 8-bit LSB is noise
+                                        # anyway); run_suite's quality
+                                        # preset does.
     seed: int = 0
     # TPU-specific knobs (no reference equivalent)
     matmul_precision: str = "bfloat16"  # 'default' | 'float32' | 'bfloat16';

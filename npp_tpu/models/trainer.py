@@ -168,7 +168,9 @@ def build_loss_fn(cfg, task: TaskSpec, model,
         loss = jnp.float32(0.0)
         if not cfg.no_pix_loss:
             pix_loss = img2mse(pred_pix, gt_rgb, cfg.loss_type,
-                               params['adaptive_pix'], gt_mask)
+                               params['adaptive_pix'], gt_mask,
+                               scale_lo=getattr(cfg, 'adaptive_scale_lo',
+                                                1e-5))
             loss = loss + pix_loss
             metrics['pixel'] = pix_loss
 

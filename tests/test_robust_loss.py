@@ -66,3 +66,27 @@ def test_special_alphas_reduce_to_known_losses():
     cauchy = robust.general_lossfun(x, jnp.asarray(0.0), jnp.asarray(1.0))
     np.testing.assert_allclose(np.asarray(cauchy),
                                np.log1p(0.5 * np.asarray(x) ** 2), rtol=1e-6)
+
+
+def test_adaptive_scale_lo_floors_the_scale():
+    """cfg.adaptive_scale_lo: with the latent ridden far negative (the
+    measured extended-schedule failure mode, results_round4.json), a raised
+    floor must bound the effective scale — img2mse with scale_lo=0.01 equals
+    the NLL evaluated at scale exactly 0.01, and differs from the reference
+    1e-5-floor default."""
+    from npp_tpu.losses.pixel import img2mse
+    p = robust.AdaptiveLossParams(
+        latent_alpha=jnp.zeros((1, 3)),
+        latent_scale=jnp.full((1, 3), -40.0))  # softplus(-40) ~ 0: at floor
+    x = jnp.full((8, 3), 0.05)
+    floored = img2mse(x, jnp.zeros_like(x), 'robust_loss_adaptive', p,
+                      scale_lo=0.01)
+    expected = jnp.mean(robust.nllfun(x, robust.adaptive_alpha(p),
+                                      jnp.asarray(0.01)))
+    np.testing.assert_allclose(float(floored), float(expected), rtol=1e-5)
+    default = img2mse(x, jnp.zeros_like(x), 'robust_loss_adaptive', p)
+    assert not np.isclose(float(floored), float(default))
+    # the default (scale_lo omitted) must stay the reference's 1e-5 floor
+    ref = jnp.mean(robust.nllfun(x, robust.adaptive_alpha(p),
+                                 jnp.asarray(1e-5)))
+    np.testing.assert_allclose(float(default), float(ref), rtol=1e-4)
