@@ -174,6 +174,17 @@ class FitConfig(BaseConfig):
     # inside the hole is removed. Exactly the property that makes TELEA
     # PSNR-strong on featureless fills, grafted onto the lattice-aware INR.
     comp_seam: str = "none"
+    # TPU-repo addition (default 0/'last' = reference behaviour). Held-out
+    # synthetic validation holes + best-snapshot selection
+    # (models/heldout.py): comp_heldout lattice-aligned blocks of KNOWN
+    # content are carved out of training and treated exactly like the real
+    # hole; comp_snapshot='best' keeps, over eval milestones, the snapshot
+    # with the best held-out PSNR. Makes extended schedules per-image safe
+    # without consulting hole GT — the round-4 measured fix for the 3x
+    # schedule regressing 2/5 bundled examples (BASELINE.md).
+    comp_heldout: int = 0
+    comp_heldout_size: int = 0          # 0 = auto (real-hole bbox, <=160/side)
+    comp_snapshot: str = "last"         # 'last' | 'best'
     use_adaptive_perceptual_loss: bool = True
     no_pix_loss: bool = False
     no_reg_sampling: bool = False

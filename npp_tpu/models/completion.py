@@ -48,7 +48,8 @@ def seam_residual_correction(pred: np.ndarray, masked: np.ndarray,
 
 def evaluate(data, params, render, adaptive_pix, loss_type: str,
              comp_seam: str = 'none', normalize_type: int = 1,
-             compute_seam: bool = None) -> Dict[str, np.ndarray]:
+             compute_seam: bool = None,
+             return_pred: bool = False) -> Dict[str, np.ndarray]:
     """Render and compose the reference's output set
     (reference: NPP_completion/train.py:270-331), plus PSNR metrics.
 
@@ -60,11 +61,32 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str,
     canvas): default None computes them only when comp_seam='residual' —
     final/suite evals pass True so the diagnostic artifacts and seam
     metrics always exist there, while per-i_testset eval hooks skip the
-    host stall."""
-    if compute_seam is None:
-        compute_seam = comp_seam == 'residual'
+    host stall.
+
+    return_pred: additionally emit the raw full-canvas render as 'pred'
+    (numpy) — snapshot selection (cfg.comp_snapshot='best') stores it so
+    the selected milestone's outputs can be re-composed at the end via
+    compose_outputs without re-rendering."""
     h, w = data.img.shape[:2]
     pred = render(params, h, w)                       # (H, W, 3)
+    out = compose_outputs(pred, data, adaptive_pix, loss_type,
+                          comp_seam=comp_seam, normalize_type=normalize_type,
+                          compute_seam=compute_seam)
+    if return_pred:
+        out['pred'] = np.asarray(pred)
+    return out
+
+
+def compose_outputs(pred, data, adaptive_pix, loss_type: str,
+                    comp_seam: str = 'none', normalize_type: int = 1,
+                    compute_seam: bool = None) -> Dict[str, np.ndarray]:
+    """Compose the output set + metrics from an already-rendered canvas
+    (see evaluate). Also emits 'heldout_psnr' when `data` carries held-out
+    validation blocks (models/heldout.py) — computed against the blocks'
+    KNOWN input content, never the hole GT."""
+    if compute_seam is None:
+        compute_seam = comp_seam == 'residual'
+    pred = jnp.asarray(pred, jnp.float32)
     mask = jnp.asarray(data.mask, jnp.float32)
     valid = jnp.asarray(data.valid_mask, jnp.float32)
     img = jnp.asarray(data.img, jnp.float32)
@@ -113,7 +135,34 @@ def evaluate(data, params, render, adaptive_pix, loss_type: str,
             gv_np = np.asarray(gv)
             out['val_psnr_seam'] = float(mse2psnr(
                 jnp.asarray(np.mean((pv_seam - gv_np) ** 2))))
+    if 'heldout_mask' in data.extra:
+        from .heldout import heldout_psnr
+        hp = heldout_psnr(np.asarray(pred), data)
+        if hp is not None:
+            out['heldout_psnr'] = hp
     return out
+
+
+def heldout_views(data, cfg):
+    """Build the fit-side and eval-side views for cfg.comp_heldout
+    (models/heldout.py). Returns (data_fit, data_eval, snapshot_best):
+    data_fit has the held-out blocks carved (training treats them like the
+    real hole); data_eval keeps the ORIGINAL mask/known content (composites
+    paste true content over the blocks) plus the heldout extras so
+    evaluate() emits 'heldout_psnr'. snapshot_best = the 'best' snapshot
+    policy is active AND blocks were actually placeable."""
+    import dataclasses
+
+    from .heldout import carve_heldout
+    data_fit = carve_heldout(data, cfg)
+    if data_fit is data or 'heldout_mask' not in data_fit.extra:
+        return data, data, False
+    extra = dict(data.extra)
+    extra.update({k: data_fit.extra[k] for k in
+                  ('heldout_rects', 'heldout_mask', 'heldout_gt')})
+    data_eval = dataclasses.replace(data, extra=extra)
+    return data_fit, data_eval, \
+        getattr(cfg, 'comp_snapshot', 'last') == 'best'
 
 
 def run_completion(cfg, save: bool = True):
@@ -123,22 +172,32 @@ def run_completion(cfg, save: bool = True):
     expname = f'{cfg.expname}_top{cfg.p_topk}'
     save_dir = os.path.join(cfg.basedir, expname, name)
 
+    data_fit, data_eval, snapshot_best = heldout_views(data, cfg)
+
     evals = {}
+    best = {}   # best-heldout snapshot: score/iter/pred/adaptive
 
     def eval_hook(i: int, state: FitState, render):
         # seam outputs: skip the host cv2 inpaint on intermediate evals
         # unless seam compositing is active; the FINAL testset still gets
         # the diagnostic artifact (compare_telea's _seam columns read it)
         final_eval = i + cfg.i_testset > cfg.N_iters - 1
-        res = evaluate(data, state.params, render,
+        res = evaluate(data_eval, state.params, render,
                        state.params['adaptive_pix'], cfg.loss_type,
                        comp_seam=getattr(cfg, 'comp_seam', 'none'),
                        normalize_type=cfg.normalize_type,
-                       compute_seam=final_eval or None)
+                       compute_seam=final_eval or None,
+                       return_pred=snapshot_best)
         evals[i] = {k: v for k, v in res.items() if np.isscalar(v)}
+        ho = res.get('heldout_psnr')
         print(f"[completion] eval@{i}: "
               f"train_psnr={res.get('train_psnr', float('nan')):.2f} "
-              f"val_psnr={res.get('val_psnr', float('nan')):.2f}")
+              f"val_psnr={res.get('val_psnr', float('nan')):.2f}" +
+              (f" heldout_psnr={ho:.2f}" if ho is not None else ""))
+        if snapshot_best and ho is not None and \
+                ho > best.get('score', -np.inf):
+            best.update(score=ho, iter=i, pred=res['pred'],
+                        adaptive=np.asarray(state.params['adaptive_pix']))
         if save:
             d = os.path.join(save_dir, f'testset_{i:06d}')
             for key in ('pred_rgb_train_img', 'pred_rgb_val_img',
@@ -152,12 +211,23 @@ def run_completion(cfg, save: bool = True):
             write_rgb(os.path.join(d, 'input_rgb_img.png'),
                       (data.masked_img * data.valid_mask)[:oh, :ow])
 
-    result = fit_image(cfg, COMPLETION_TASK, data, eval_hook=eval_hook,
+    result = fit_image(cfg, COMPLETION_TASK, data_fit, eval_hook=eval_hook,
                        log_every=cfg.i_print)
-    final = evaluate(data, result.state.params, result.render,
+    final = evaluate(data_eval, result.state.params, result.render,
                      result.state.params['adaptive_pix'], cfg.loss_type,
                      comp_seam=getattr(cfg, 'comp_seam', 'none'),
                      normalize_type=cfg.normalize_type, compute_seam=True)
+    final['snapshot_iter'] = cfg.N_iters - 1
+    if snapshot_best and best and \
+            best['score'] > final.get('heldout_psnr', -np.inf):
+        # the held-out criterion prefers an earlier milestone: re-compose
+        # the final output set from that snapshot's stored render
+        final = compose_outputs(best['pred'], data_eval, best['adaptive'],
+                                cfg.loss_type,
+                                comp_seam=getattr(cfg, 'comp_seam', 'none'),
+                                normalize_type=cfg.normalize_type,
+                                compute_seam=True)
+        final['snapshot_iter'] = best['iter']
 
     # final LPIPS of the composited output vs gt (the paper's second headline
     # metric; absolute values require converted pretrained towers)
@@ -172,4 +242,12 @@ def run_completion(cfg, save: bool = True):
     comp_s = jnp.asarray(final['pred_rgb_img_comp_seam'], jnp.float32)[None]
     final['val_lpips_seam'] = float(jnp.mean(percep(comp_s, gt,
                                                     normalize=True)))
+    if save:
+        # the SELECTED output set, wherever the criterion landed; sorts
+        # after every testset_NNNNNN dir so compare_telea reads it
+        d = os.path.join(save_dir, 'testset_final')
+        for key in ('pred_rgb_img', 'pred_rgb_img_comp',
+                    'pred_rgb_img_comp_seam'):
+            if key in final:
+                write_rgb(os.path.join(d, f'{key}.png'), final[key])
     return result, final, evals

@@ -29,10 +29,14 @@ import bench  # repo-root bench.py: flagship shapes + synthetic data
 
 
 ARMS = [
+    # embed_table='float32' is the production default since the round-4 A/B
+    # (BASELINE.md), so 'full' already includes the table; 'no_table'
+    # isolates the on-the-fly trig it replaced.
     ('full', {}),
     ('no_cx', {'use_contextual_loss': False}),
+    ('no_perc', {'use_perceptual_loss': False}),
     ('pixel_plain', {'loss_type': 'l2'}),
-    ('table', {'embed_table': 'float32'}),
+    ('no_table', {'embed_table': ''}),
     ('table_bf16', {'embed_table': 'bfloat16'}),
 ]
 

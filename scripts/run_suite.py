@@ -58,6 +58,17 @@ def main():
                     choices=['none', 'residual'],
                     help="completion compositing: 'residual' = seam-aware "
                          'residual-corrected composite (cfg.comp_seam)')
+    ap.add_argument('--comp-heldout', type=int, default=None,
+                    help='number of held-out synthetic validation holes '
+                         'carved per completion image (cfg.comp_heldout; '
+                         'models/heldout.py). Default 0; the quality preset '
+                         'uses 2')
+    ap.add_argument('--comp-snapshot', default=None,
+                    choices=['last', 'best'],
+                    help="completion snapshot policy (cfg.comp_snapshot): "
+                         "'best' keeps the eval milestone with the best "
+                         'held-out PSNR. Default last; the quality preset '
+                         "uses 'best'")
     ap.add_argument('--rank-proxy', default=None,
                     choices=['reference', 'window', 'mse', 'heldout_mse'],
                     help='ranking proxy objective for the searches '
@@ -102,6 +113,10 @@ def main():
                                     else 'off')
     if args.seg_hysteresis is None:
         args.seg_hysteresis = 0.5 if args.preset == 'quality' else 1.0
+    if args.comp_heldout is None:
+        args.comp_heldout = 2 if args.preset == 'quality' else 0
+    if args.comp_snapshot is None:
+        args.comp_snapshot = 'best' if args.preset == 'quality' else 'last'
     if args.iters_scale is None:
         args.iters_scale = 1.0
         quality_scale = args.preset == 'quality'
@@ -123,6 +138,8 @@ def main():
                            'batched_search': args.batched_search,
                            'iters_scale': args.iters_scale,
                            'comp_seam': args.comp_seam,
+                           'comp_heldout': args.comp_heldout,
+                           'comp_snapshot': args.comp_snapshot,
                            'seg_color_criterion': args.seg_color_criterion,
                            'seg_hysteresis': args.seg_hysteresis,
                            'rank_proxy': args.rank_proxy,
@@ -248,7 +265,9 @@ def main():
             if args.aot_cache:
                 cfg = replace(cfg, aot_cache_dir=args.aot_cache)
             if task == 'completion':
-                cfg = replace(cfg, comp_seam=args.comp_seam)
+                cfg = replace(cfg, comp_seam=args.comp_seam,
+                              comp_heldout=args.comp_heldout,
+                              comp_snapshot=args.comp_snapshot)
             if task == 'segmentation':
                 cfg = replace(
                     cfg,
@@ -259,14 +278,20 @@ def main():
                 # the measured lever on the one TELEA-PSNR loss: the
                 # extended schedule runs the patch-decay stages the
                 # reference budget stops just before (BASELINE.md
-                # 7a2216fc). Round-4 measured addition: extended fits
+                # 7a2216fc). Round-4 measured additions: (a) extended fits
                 # floor the adaptive pixel-loss scale at 0.01
                 # (cfg.adaptive_scale_lo) — past the reference budget the
                 # scale latent rides under the achievable residual floor
-                # and blew up one fit (de45790e, results_round4.json). No
-                # per-image gate: the extension's sign is a GT-phase
-                # property no input-side signal separates (7a2216fc and
-                # 5dcfbc24 share patch 64 and opposite outcomes).
+                # and blew up one fit (de45790e, results_round4.json);
+                # (b) the extension's sign is per-image (the first patch
+                # halving de-anchors the hole's lattice phase on 2/5
+                # bundled examples, same-detection A/B in BASELINE.md) and
+                # no input-side scalar predicts it, so the preset carves
+                # held-out validation holes (--comp-heldout, set above)
+                # and keeps the best-held-out milestone
+                # (--comp-snapshot best) — the reference-budget snapshot
+                # stays in the candidate set, making the extension
+                # per-image safe without consulting hole GT.
                 scale = 3.0
                 cfg = replace(cfg, adaptive_scale_lo=0.01)
             if scale != 1.0:
