@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -196,8 +197,12 @@ def run_completion(cfg, save: bool = True):
               (f" heldout_psnr={ho:.2f}" if ho is not None else ""))
         if snapshot_best and ho is not None and \
                 ho > best.get('score', -np.inf):
+            # tree-map, NOT np.asarray: under loss_type='adaptive' the
+            # latent is an AdaptiveParams pytree, which np.asarray would
+            # collapse into one ndarray (crashes img2mse at re-compose)
             best.update(score=ho, iter=i, pred=res['pred'],
-                        adaptive=np.asarray(state.params['adaptive_pix']))
+                        adaptive=jax.tree.map(
+                            np.asarray, state.params['adaptive_pix']))
         if save:
             d = os.path.join(save_dir, f'testset_{i:06d}')
             for key in ('pred_rgb_train_img', 'pred_rgb_val_img',

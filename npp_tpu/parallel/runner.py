@@ -80,7 +80,8 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                canvas_multiple: int = 64,
                per_image: Optional[Sequence[dict]] = None,
                return_ctx: bool = False,
-               block: Optional[int] = None) -> List[FitState]:
+               block: Optional[int] = None,
+               milestone_hook=None) -> List[FitState]:
     """Fit all images concurrently (one bucket per padded shape + patch
     size). Returns the per-image FitStates in input order.
 
@@ -99,6 +100,16 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
 
     return_ctx: additionally return a per-image ctx dict (model, embedder,
     bucket canvas, cfg) for rendering/eval of the batched results.
+
+    milestone_hook(i, idxs, state): called at fit_image's eval cadence
+    (every iteration i with i % cfg.i_testset == 0, i > 0; pipeline.py:241)
+    with the bucket's ORIGINAL image indices and the batched DEVICE state
+    (row j of a state leaf belongs to datas[idxs[j]]; rows beyond len(idxs)
+    are mesh-padding repeats). On the default gcd block path every
+    milestone coincides with a dispatch boundary (blk divides i_testset);
+    an EXPLICIT `block` that does not divide i_testset silently skips the
+    milestones inside a block. Used by run_suite --batched for
+    cfg.comp_snapshot='best' held-out snapshot selection.
     """
     n_iters = n_iters if n_iters is not None else cfg.N_iters - 1
     if mesh is None:
@@ -315,6 +326,9 @@ def fit_images(cfg, task: TaskSpec, datas: Sequence[TaskData],
                 rng, k = jax.random.split(rng)
                 state, _ = step_one(state, emb_b, consts, k)
                 i += 1
+            if milestone_hook is not None and i - 1 > 0 and \
+                    (i - 1) % bcfg.i_testset == 0:
+                milestone_hook(i - 1, idxs, state)
         jax.block_until_ready(state.params)
         # per-image states go back as HOST numpy: a slice of the sharded
         # batch stays committed to the images-mesh devices, which a

@@ -98,6 +98,13 @@ def main():
                          'segmentation refinement (best synthetic-GT IoU in '
                          "the round-3 8-variant sweep). Explicit flags "
                          '(--iters-scale/--comp-seam/--seg-*) still win.')
+    ap.add_argument('--set', action='append', default=[],
+                    metavar='KEY=VALUE',
+                    help='override any task-config dataclass field, applied '
+                         'LAST to every task cfg (cli.py value coercion; '
+                         'keys a task config lacks are skipped with a '
+                         'note). Repeatable — tiny CPU drives / A/Bs, e.g. '
+                         '--set netwidth=32 --set N_rand=64')
     ap.add_argument('--aot-cache', default=os.environ.get(
                         'NPP_TPU_AOT_CACHE', ''),
                     help='directory for serialized compiled executables '
@@ -292,12 +299,28 @@ def main():
                 # (--comp-snapshot best) — the reference-budget snapshot
                 # stays in the candidate set, making the extension
                 # per-image safe without consulting hole GT.
-                scale = 3.0
-                cfg = replace(cfg, adaptive_scale_lo=0.01)
-            if scale != 1.0:
+                # Extend N_iters 3x but KEEP the reference eval cadence
+                # (i_testset=500): the best-snapshot candidate set must
+                # contain the reference-budget milestone (iter 2000), which
+                # a scaled cadence (1500/3000/...) would skip.
+                cfg = replace(cfg, adaptive_scale_lo=0.01,
+                              N_iters=max(2, int(cfg.N_iters * 3.0)))
+            elif scale != 1.0:
                 cfg = replace(cfg,
                               N_iters=max(2, int(cfg.N_iters * scale)),
                               i_testset=max(1, int(cfg.i_testset * scale)))
+            if args.set:
+                import dataclasses as _dc
+
+                from npp_tpu.cli import _parse_value
+                fields = {f.name: f for f in _dc.fields(cfg)}
+                for kv in args.set:
+                    k, v = kv.split('=', 1)
+                    if k in fields:
+                        cfg = replace(cfg, **{k: _parse_value(fields[k], v)})
+                    else:
+                        print(f'[suite] --set {k}: no such field on '
+                              f'{type(cfg).__name__}, skipped')
             if batched:
                 from npp_tpu.models.loaders import (load_completion,
                                                     load_remapping,
@@ -305,7 +328,18 @@ def main():
                 loader = {'completion': load_completion,
                           'segmentation': load_segmentation,
                           'remapping': load_remapping}[task]
-                pending.append((name, rec, cfg, loader(cfg)))
+                data = loader(cfg)
+                if task == 'completion':
+                    # same held-out carving + snapshot policy as the
+                    # sequential path (models/heldout.py): fit on the
+                    # carved view, evaluate on the original one
+                    from npp_tpu.models.completion import heldout_views
+                    data_fit, data_eval, snap_best = heldout_views(data, cfg)
+                else:
+                    data_fit = data_eval = data
+                    snap_best = False
+                pending.append((name, rec, cfg, data_fit, data_eval,
+                                snap_best))
                 continue
             t0 = time.time()
             with timer.phase(f'fit/{task}'):
@@ -355,18 +389,34 @@ def main():
             # gate above), so group by budget — each group is one
             # fit_images call (the runner buckets by shape inside)
             order = {}
-            for i, (_, _, cfg_i, _) in enumerate(pending):
+            for i, (_, _, cfg_i, *_rest) in enumerate(pending):
                 order.setdefault(cfg_i.N_iters, []).append(i)
             states = [None] * len(pending)
             ctxs = [None] * len(pending)
+            snaps = {}   # pending idx -> [(iter, host params pytree)]
             t0 = time.time()
             total_iters = 0
             with timer.phase(f'fit_batched/{task}'):
                 for n_it, idxs in order.items():
+                    hook = None
+                    if any(pending[i][5] for i in idxs):
+                        def hook(it, bidx, state, _g=list(idxs)):
+                            # bidx indexes this fit_images call's datas
+                            # list; _g maps that back to pending order.
+                            # Host param snapshots cost ~tens of MB per
+                            # milestone; heldout PSNR is computed post-fit
+                            # from ONE shared render executable.
+                            ph = jax.tree.map(np.asarray, state.params)
+                            for j, b in enumerate(bidx):
+                                if pending[_g[b]][5]:
+                                    snaps.setdefault(_g[b], []).append(
+                                        (it, jax.tree.map(
+                                            lambda x, jj=j: x[jj], ph)))
                     g_states, g_ctxs = fit_images(
                         pending[idxs[0]][2], tspec,
                         [datas[i] for i in idxs], n_iters=n_it - 1,
-                        canvas_multiple=cm, return_ctx=True)
+                        canvas_multiple=cm, return_ctx=True,
+                        milestone_hook=hook)
                     for i, st, ctx in zip(idxs, g_states, g_ctxs):
                         states[i], ctxs[i] = st, ctx
                     total_iters += len(idxs) * (n_it - 1)
@@ -382,9 +432,11 @@ def main():
             pmesh = make_mesh(('pixels',), (1,), devices=jax.devices()[:1])
             renders = {}
             lpips_alex = None
-            for (name, rec, cfg_i, data), st, ctx in zip(pending, states,
-                                                         ctxs):
-                data_b = pad_to_canvas(data, *ctx['canvas'])
+            for pidx, ((name, rec, cfg_i, data_fit, data_eval, snap_best),
+                       st, ctx) in enumerate(zip(pending, states, ctxs)):
+                # evaluate on the EVAL view (original mask + heldout
+                # extras), exactly like the sequential path
+                data_b = pad_to_canvas(data_eval, *ctx['canvas'])
                 key = id(ctx['model'])
                 if key not in renders:
                     renders[key] = make_sharded_render(ctx['cfg'],
@@ -395,13 +447,38 @@ def main():
                     return _r(params, _e, hh, ww)
 
                 if task == 'completion':
-                    from npp_tpu.models.completion import evaluate
+                    from npp_tpu.models.completion import (compose_outputs,
+                                                           evaluate)
                     final = evaluate(data_b, st.params, render,
                                      st.params['adaptive_pix'],
                                      cfg_i.loss_type,
                                      comp_seam=args.comp_seam,
                                      normalize_type=cfg_i.normalize_type,
                                      compute_seam=True)
+                    final['snapshot_iter'] = cfg_i.N_iters - 1
+                    if snap_best and snaps.get(pidx):
+                        # cfg.comp_snapshot='best': re-render each milestone
+                        # snapshot and keep the best held-out PSNR; the
+                        # final state wins ties (run_completion semantics)
+                        from npp_tpu.models.heldout import heldout_psnr
+                        hh, ww = ctx['canvas']
+                        best = [final.get('heldout_psnr', -np.inf),
+                                None, None, None]
+                        for it, params_h in snaps[pidx]:
+                            pred_m = np.asarray(render(params_h, hh, ww))
+                            hp = heldout_psnr(pred_m, data_b)
+                            if hp is not None and hp > best[0]:
+                                best = [hp, it, pred_m,
+                                        params_h['adaptive_pix']]
+                        if best[1] is not None:
+                            final = compose_outputs(
+                                best[2], data_b, best[3], cfg_i.loss_type,
+                                comp_seam=args.comp_seam,
+                                normalize_type=cfg_i.normalize_type,
+                                compute_seam=True)
+                            final['snapshot_iter'] = best[1]
+                            print(f'[suite] {name}: best-heldout snapshot '
+                                  f'@{best[1]} ({best[0]:.2f} dB)')
                     comp = jnp.asarray(final['pred_rgb_img_comp'],
                                        jnp.float32)[None]
                     oh, ow = data_b.orig_shape

@@ -135,3 +135,33 @@ def test_run_completion_snapshot_best(example_dir, tmp_path):  # noqa: F811
     assert os.path.exists(os.path.join(d, 'pred_rgb_img_comp.png'))
     # metrics are computed against the ORIGINAL data (real hole only)
     assert np.isfinite(final['val_psnr'])
+
+
+def test_snapshot_recompose_with_adaptive_latents(example_dir, tmp_path,
+                                                  monkeypatch):  # noqa: F811
+    """Regression (round-4 suite crash): when an EARLIER milestone wins the
+    held-out criterion, the final set is re-composed from that snapshot —
+    whose stored adaptive-loss latent is a PYTREE (AdaptiveParams), not an
+    ndarray. Force the earlier-milestone branch with a strictly decreasing
+    held-out score."""
+    import numpy as np
+
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models import heldout as H
+    from npp_tpu.models.completion import run_completion
+
+    scores = iter([30.0, 20.0, 10.0, 5.0, 4.0, 3.0, 2.0])
+    monkeypatch.setattr(H, 'heldout_psnr',
+                        lambda pred, data: next(scores))
+
+    cfg = replace(CompletionConfig(), datadir=example_dir,
+                  basedir=str(tmp_path / 'out'), netwidth=48, netdepth=4,
+                  N_rand=256, patch_num=1, num_real_patch_per_sample=2,
+                  N_iters=61, i_testset=20, i_print=20,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  comp_heldout=1, comp_snapshot='best')
+    assert cfg.loss_type == 'robust_loss_adaptive'
+    result, final, evals = run_completion(cfg, save=False)
+    assert final['snapshot_iter'] == 20
+    assert np.isfinite(final['img_train_loss'])
+    assert np.isfinite(final['val_psnr'])

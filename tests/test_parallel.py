@@ -594,3 +594,43 @@ def test_fit_images_embed_table_matches_off():
         for a, b in zip(jax.tree.leaves(s_d.params),
                         jax.tree.leaves(s_b.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_images_milestone_hook_matches_prefix_run():
+    """milestone_hook fires at fit_image's eval cadence (i % i_testset == 0)
+    with the bucket's original indices, and the state it sees at iteration m
+    is BIT-IDENTICAL to a fresh fit_images run of n_iters=m (the rng chain
+    is a pure prefix — the hook observes, never perturbs)."""
+    import dataclasses
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.parallel.mesh import make_mesh
+    from npp_tpu.parallel.runner import fit_images
+    from tests.test_trainer import tiny_data
+
+    cfg = replace(CompletionConfig(), netwidth=32, netdepth=2, N_rand=32,
+                  patch_num=1, num_real_patch_per_sample=2,
+                  use_perceptual_loss=False, use_contextual_loss=False,
+                  i_testset=4, i_print=2)
+    d1 = dataclasses.replace(tiny_data(40, 48), patch_size=16)
+    d2 = dataclasses.replace(tiny_data(36, 44), patch_size=16)
+    mesh = make_mesh(('images',), (2,), devices=jax.devices()[:2])
+
+    fired = []
+
+    def hook(i, idxs, state):
+        fired.append((i, list(idxs), jax.tree.map(np.asarray, state.params)))
+
+    fit_images(cfg, COMPLETION_TASK, [d1, d2], n_iters=8, mesh=mesh,
+               canvas_multiple=16, milestone_hook=hook)
+    assert [f[0] for f in fired] == [4, 8], fired
+    assert fired[0][1] == [0, 1]
+
+    prefix = fit_images(cfg, COMPLETION_TASK, [d1, d2], n_iters=4, mesh=mesh,
+                        canvas_multiple=16)
+    snap4 = fired[0][2]
+    for j in range(2):
+        row = jax.tree.map(lambda x, jj=j: x[jj], snap4)
+        for a, b in zip(jax.tree.leaves(row),
+                        jax.tree.leaves(prefix[j].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
