@@ -39,7 +39,8 @@ TOPK = 3
 BLOCK = 50            # production scan-block size for the bench
 N_BLOCKS = 6          # measured blocks (300 iters) after 1 warmup block
 N_SINGLE = 30         # individually dispatched steps for latency percentiles
-N_BENCH_CPU = 3       # steps per timed repeat of the CPU control (x2 repeats)
+N_BENCH_CPU = 5       # steps per timed repeat of the CPU control (x2 repeats
+                      # = 10 timed steps, VERDICT round-3 next #7)
 CPU_THREADS = 8       # pinned torch thread count for the CPU control
 
 

@@ -57,7 +57,17 @@ class BaseConfig:
                                         # 1.85x step speedup at identical fit
                                         # quality (BASELINE.md); params/sums
                                         # stay f32
-    feature_dtype: str = "float32"      # dtype for pretrained conv towers
+    feature_dtype: str = "float32"      # activation dtype of the pretrained
+                                        # conv towers inside the FIT losses
+                                        # (LPIPS/CX/style built by
+                                        # models/pipeline.py):
+                                        # 'float32' (reference-faithful) |
+                                        # 'bfloat16' (halves the loss
+                                        # towers' activation HBM traffic —
+                                        # the dominant non-MXU phase in the
+                                        # round-4 MFU roofline; changes
+                                        # loss values beyond float
+                                        # reassociation, so default off)
     canvas_multiple: int = 64           # pad images to this multiple so
                                         # compiled executables are shared
                                         # across image sizes (0 = off)

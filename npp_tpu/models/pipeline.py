@@ -50,9 +50,17 @@ def build_components(cfg, data: TaskData, task: TaskSpec) -> Components:
         model = NPPNetTop1(input_ch_periodic=embedder.top1_dim,
                            depth=cfg.netdepth, width=cfg.netwidth,
                            activation=cfg.activation)
-    percep = LPIPS(net='vgg') if cfg.use_perceptual_loss else None
-    contextual = ContextualLoss(use_vgg=True) if cfg.use_contextual_loss else None
-    style = StyleLoss(use_adaptive=getattr(cfg, 'use_adaptive_style_loss', False)) \
+    # cfg.feature_dtype: activation dtype of the pretrained conv towers
+    # inside the fit losses (params stay f32 — flax casts per-op). bf16
+    # halves the HBM traffic of the loss towers' f32[N,160,160,C] temps,
+    # the dominant non-MXU phase in the round-4 MFU roofline; default
+    # float32 is the reference-faithful path.
+    fdt = jnp.bfloat16 if cfg.feature_dtype == 'bfloat16' else jnp.float32
+    percep = LPIPS(net='vgg', dtype=fdt) if cfg.use_perceptual_loss else None
+    contextual = ContextualLoss(use_vgg=True, dtype=fdt) \
+        if cfg.use_contextual_loss else None
+    style = StyleLoss(use_adaptive=getattr(cfg, 'use_adaptive_style_loss', False),
+                      dtype=fdt) \
         if task.use_style and getattr(cfg, 'use_style_loss', False) else None
     return Components(embedder, model, percep, contextual, style)
 

@@ -246,3 +246,48 @@ def test_lpips_squeeze_trunk(imgs):
                         ret_per_layer=True)
     assert float(jnp.max(same)) < 1e-5
     assert len(per_layer) == 7 and val.shape == (2, 32, 32, 1)
+
+
+def test_feature_dtype_bf16_towers_close_to_f32(imgs):
+    """cfg.feature_dtype wires the loss towers' activation dtype
+    (models/pipeline.py::build_components). bf16 towers must track the f32
+    values closely on smooth inputs — the knob trades HBM traffic for a
+    bounded numeric drift, it must not change the loss's meaning."""
+    from npp_tpu.losses.contextual import ContextualLoss
+    from npp_tpu.losses.lpips import LPIPS
+    a, b = imgs
+    for cls, kw in ((LPIPS, dict(net='vgg')),
+                    (ContextualLoss, dict(use_vgg=True))):
+        f32 = cls(dtype=jnp.float32, **kw)(a, b)
+        bf16 = cls(dtype=jnp.bfloat16, **kw)(a, b)
+        f32, bf16 = np.asarray(f32, np.float64), np.asarray(bf16, np.float64)
+        assert np.all(np.isfinite(bf16))
+        assert np.allclose(f32, bf16, rtol=0.08, atol=5e-3), (f32, bf16)
+
+
+def test_build_components_consumes_feature_dtype():
+    """The knob must reach the tower modules (it was dead config until
+    round 4)."""
+    from npp_tpu.config import CompletionConfig, replace
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.pipeline import build_components
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(32, 32, 3)
+    ones = np.ones((32, 32, 1))
+    coords = np.stack(np.nonzero(ones[..., 0]), 1)
+    data = TaskData(img=img, masked_img=img, mask=ones, valid_mask=ones,
+                    i_train=coords, i_val=coords[:1],
+                    selected_angles=[[90.0, 180.0]],
+                    selected_periods=[[8.0, 8.0]],
+                    selected_shifts=[[[8.0, 0.0], [0.0, 8.0]]],
+                    patch_size=16)
+    cfg = replace(CompletionConfig(), p_topk=1,
+                  feature_dtype='bfloat16')
+    comps = build_components(cfg, data, COMPLETION_TASK)
+    assert comps.percep.module.dtype == jnp.bfloat16
+    assert comps.contextual.module.dtype == jnp.bfloat16
+    cfg32 = replace(cfg, feature_dtype='float32')
+    comps32 = build_components(cfg32, data, COMPLETION_TASK)
+    assert comps32.percep.module.dtype == jnp.float32
