@@ -38,6 +38,12 @@ ARMS = [
     ('pixel_plain', {'loss_type': 'l2'}),
     ('no_table', {'embed_table': ''}),
     ('table_bf16', {'embed_table': 'bfloat16'}),
+    # bf16 activations inside the loss towers (LPIPS/CX/style convs +
+    # normalize chains) — halves the HBM traffic of the dominant non-MXU
+    # phase named by the round-4 MFU roofline (BASELINE.md). Params stay
+    # f32; values drift within the CPU closeness test's bound
+    # (tests/test_losses.py::test_feature_dtype_bf16_towers_close_to_f32).
+    ('feat_bf16', {'feature_dtype': 'bfloat16'}),
 ]
 
 
