@@ -126,15 +126,17 @@ def peak_bf16_flops(device_kind: str) -> float:
     return 197e12   # default: v5e
 
 
-def bench_tpu() -> dict:
+def bench_tpu() -> tuple:
+    """Mandatory segment: the production block-scan path. Returns
+    (diag, bench_ctx) — bench_ctx carries what the OPTIONAL post-primary
+    latency segment needs, so it can run after the primary JSON is out."""
     import jax
     import npp_tpu
     npp_tpu.enable_compilation_cache()
     from npp_tpu.config import CompletionConfig
     from npp_tpu.models.completion import COMPLETION_TASK
     from npp_tpu.models.pipeline import build_components, make_fit_consts
-    from npp_tpu.models.trainer import (init_fit_state, make_fit_block,
-                                        make_fit_step)
+    from npp_tpu.models.trainer import init_fit_state, make_fit_block
 
     cfg = CompletionConfig()
     data = _synthetic_data(cfg)
@@ -175,12 +177,26 @@ def bench_tpu() -> dict:
     blocked_ips = BLOCK * N_BLOCKS / (time.time() - t0)
     diag['blocked_iters_per_sec'] = round(blocked_ips, 3)
     _log(f'blocked path: {diag["blocked_iters_per_sec"]} it/s')
+    diag['value_is'] = 'blocked_iters_per_sec (production fit path)'
+    ctx = {'cfg': cfg, 'comps': comps, 'consts': consts, 'tx': tx,
+           'state': state, 'rng': rng, 'blocked_ips': blocked_ips}
+    return diag, ctx
 
-    # --- diagnostic: individually dispatched steps (relay-latency bound) ---
+
+def bench_latency(ctx: dict) -> dict:
+    """Optional diagnostic: individually dispatched steps (relay-latency
+    bound). Costs a 2-7 min single-step relay compile — runs AFTER the
+    primary JSON line, budget-gated (VERDICT round-4 next #3)."""
+    import jax
+    from npp_tpu.models.completion import COMPLETION_TASK
+    from npp_tpu.models.trainer import make_fit_step
+    cfg, comps = ctx['cfg'], ctx['comps']
     _log('compiling single-step program for latency percentiles')
     step = make_fit_step(cfg, COMPLETION_TASK, comps.model, comps.embedder,
-                         consts, comps.percep, comps.contextual, comps.style,
-                         tx, PATCH_NUM, PATCH_SIZE)
+                         ctx['consts'], comps.percep, comps.contextual,
+                         comps.style, ctx['tx'], PATCH_NUM, PATCH_SIZE)
+    state, rng = ctx['state'], ctx['rng']
+    diag = {}
     t0 = time.time()
     state, _ = step(state, rng)
     jax.block_until_ready(state.params)
@@ -201,8 +217,7 @@ def bench_tpu() -> dict:
     # per-call overhead = dispatched median latency minus pure compute
     # (compute per iter from the blocked path, which has ~no dispatch)
     diag['est_dispatch_overhead_ms'] = round(
-        (p(50) - 1.0 / blocked_ips) * 1e3, 1)
-    diag['value_is'] = 'blocked_iters_per_sec (production fit path)'
+        (p(50) - 1.0 / ctx['blocked_ips']) * 1e3, 1)
     return diag
 
 
@@ -365,17 +380,76 @@ def _wait_for_backend(max_attempts: int = 4, probe_timeout: int = 300) -> None:
                      log=lambda m: _log(m.replace('[backend] ', '')))
 
 
+def _cpu_control_main():
+    """Subprocess entry (`bench.py --cpu-control`): the torch host-CPU
+    control, run CONCURRENTLY with the TPU segments from t=0 (it shares no
+    device with them) so its ~8 min never delays the primary JSON line
+    (VERDICT round-4 weak #2 / next #3). Prints one JSON dict on stdout."""
+    cpu_ips, cpu_reps = bench_torch_cpu()
+    print(json.dumps({'cpu_ips': cpu_ips, 'repeats': cpu_reps}), flush=True)
+
+
+def _start_cpu_control():
+    import subprocess
+    import tempfile
+    out = tempfile.NamedTemporaryFile(mode='w+', suffix='.json',
+                                      prefix='npp_bench_cpu_', delete=False)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), '--cpu-control'],
+        stdout=out, stderr=subprocess.DEVNULL)
+    return proc, out.name
+
+
+def _join_cpu_control(proc, path, timeout_s: float):
+    import subprocess
+    try:
+        proc.wait(timeout=max(0.0, timeout_s))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        _log(f'CPU control not done within {timeout_s:.0f}s budget — '
+             'killed (vs_baseline omitted)')
+        return None
+    try:
+        with open(path) as f:
+            return json.loads(f.read())
+    except Exception as e:
+        _log(f'CPU control produced no JSON: {e!r}')
+        return None
+
+
 def main():
+    t_start = time.time()
+    budget = float(os.environ.get('NPP_BENCH_BUDGET_S', '2600'))
+    remaining = lambda: budget - (time.time() - t_start)
+    # the torch CPU control starts NOW, in a subprocess: by the time the
+    # TPU blocked measurement is done (pool-grant wait included) it has
+    # usually long finished
+    cpu_proc = cpu_path = None
+    if os.environ.get('NPP_BENCH_CPU', '1') != '0':
+        _log(f'starting torch host-CPU control subprocess ({CPU_THREADS} '
+             f'threads, 2x{N_BENCH_CPU} steps, concurrent with TPU work)')
+        cpu_proc, cpu_path = _start_cpu_control()
     _wait_for_backend()
-    diag = bench_tpu()
+    diag, ctx = bench_tpu()
     tpu_ips = diag['blocked_iters_per_sec']
     flops_step = diag['flops_per_step']['total'] * 1e9
     achieved = tpu_ips * flops_step
     mfu = achieved / (diag['peak_bf16_tflops'] * 1e12)
     diag['achieved_tflops'] = round(achieved / 1e12, 2)
     diag['mfu'] = round(mfu, 4)
+    print(json.dumps(diag), file=sys.stderr, flush=True)
+
+    # optional batched segment: ~300-450 s (AOT-cached: less); skipped when
+    # the pool-grant wait already ate the budget, so the primary line still
+    # lands before any driver timeout
     batched = {}
-    if os.environ.get('NPP_BENCH_BATCHED', '1') != '0':
+    est_batched_s = float(os.environ.get('NPP_BENCH_BATCHED_EST_S', '450'))
+    if os.environ.get('NPP_BENCH_BATCHED', '1') == '0':
+        pass
+    elif remaining() < est_batched_s:
+        _log(f'batched segment SKIPPED: {remaining():.0f}s left of the '
+             f'{budget:.0f}s budget < {est_batched_s:.0f}s estimate')
+    else:
         try:
             batched = bench_batched(flops_step,
                                     diag['peak_bf16_tflops'] * 1e12)
@@ -385,20 +459,22 @@ def main():
                  f'img-it/s, MFU {batched["mfu_batched"]}')
         except Exception as e:
             _log(f'batched segment failed (non-fatal): {e!r}')
-    try:
-        _log('measuring torch host-CPU baseline (reference step pattern, '
-             f'{CPU_THREADS} threads, 2x{N_BENCH_CPU} steps — several '
-             'minutes)')
-        cpu_ips, cpu_reps = bench_torch_cpu()
-        vs = tpu_ips / cpu_ips
-        diag['torch_cpu_iters_per_sec'] = round(cpu_ips, 4)
-        diag['torch_cpu_repeats'] = [round(r, 4) for r in cpu_reps]
-        diag['torch_cpu_spread_pct'] = round(
-            100.0 * abs(cpu_reps[1] - cpu_reps[0]) /
-            max(cpu_reps), 1)
-    except Exception:
-        cpu_ips, vs = None, None
-    print(json.dumps(diag), file=sys.stderr)
+
+    # join the CPU control: started at t=0, it needs ~{warmup+2x5 steps};
+    # wait out at most the remaining budget (min 60 s grace)
+    vs = None
+    if cpu_proc is not None:
+        rec = _join_cpu_control(cpu_proc, cpu_path,
+                                max(60.0, min(remaining(), 900.0)))
+        if rec:
+            cpu_ips, cpu_reps = rec['cpu_ips'], rec['repeats']
+            vs = tpu_ips / cpu_ips
+            diag['torch_cpu_iters_per_sec'] = round(cpu_ips, 4)
+            diag['torch_cpu_repeats'] = [round(r, 4) for r in cpu_reps]
+            diag['torch_cpu_spread_pct'] = round(
+                100.0 * abs(cpu_reps[1] - cpu_reps[0]) / max(cpu_reps), 1)
+
+    # PRIMARY metric line — everything after this is stderr diagnostics
     out = {
         'metric': 'completion_fit_iters_per_sec',
         'value': round(tpu_ips, 3),
@@ -411,8 +487,23 @@ def main():
         out['mfu_batched'] = batched['mfu_batched']
         out['batched_aggregate_image_iters_per_sec'] = \
             batched['batched_aggregate_image_iters_per_sec']
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    # optional post-primary diagnostics (single-step latency percentiles:
+    # costs a 2-7 min relay compile)
+    if os.environ.get('NPP_BENCH_LATENCY', '1') != '0' and \
+            remaining() > 500.0:
+        try:
+            diag.update(bench_latency(ctx))
+        except Exception as e:
+            _log(f'latency segment failed (non-fatal): {e!r}')
+    else:
+        _log('latency segment skipped (budget or NPP_BENCH_LATENCY=0)')
+    print(json.dumps(diag), file=sys.stderr, flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if '--cpu-control' in sys.argv[1:]:
+        _cpu_control_main()
+    else:
+        main()

@@ -195,6 +195,12 @@ def save_refinement(save_dir: str, i: int, data, pred: np.ndarray,
     write_rgb(os.path.join(d, 'segment.png'),
               overlay(data.img[:oh, :ow], res['non_period_mask'],
                       data.valid_mask[:oh, :ow]))
+    # raw refined mask (no reference equivalent — the reference only saves
+    # the overlay): lets offline scorers (eval_segmentation_iou.py
+    # --bundled-from-suite) compute IoU without refitting
+    write_gray(os.path.join(d, 'segment_mask.png'),
+               (np.asarray(res['non_period_mask'])[..., 0] > 0
+                ).astype(np.float64)[:oh, :ow])
     write_rgb(os.path.join(d, 'pred_rgb_img.png'),
               (pred * data.valid_mask)[:oh, :ow])
 

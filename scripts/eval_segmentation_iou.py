@@ -81,11 +81,36 @@ def synth_isoluminant(seed, h=256, w=320):
     return img, (gt_mask | blob)
 
 
-def iou(a, b):
+def iou(a, b, care=None):
+    """IoU of boolean masks; `care` (optional bool mask) restricts scoring
+    to those pixels (used for valid-region and boundary-band-excluded
+    scoring of the bundled GT)."""
     a = a.astype(bool)
     b = b.astype(bool)
+    if care is not None:
+        a, b = a & care, b & care
     u = (a | b).sum()
     return float((a & b).sum() / u) if u else 1.0
+
+
+def load_bundled_gt(name, shape):
+    """Hand/heuristic-annotated non-periodic GT for the bundled examples
+    (scripts/make_bundled_seg_gt.py; asset PNGs in npp_tpu/assets/seg_gt).
+    Returns (gt_mask, band_care) or (None, None): band_care excludes a 5 px
+    band around the GT boundary (the annotation's stated uncertainty)."""
+    import cv2
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'npp_tpu', 'assets', 'seg_gt', f'{name}_nonperiodic.png')
+    if not os.path.exists(path):
+        return None, None
+    gt = cv2.imread(path, 0) > 128
+    if gt.shape != shape:
+        return None, None
+    k = np.ones((11, 11), np.uint8)   # 5 px band each side of the edge
+    g8 = gt.astype(np.uint8)
+    band = (cv2.dilate(g8, k) > 0) & ~(cv2.erode(g8, k) > 0)
+    return gt, ~band
 
 
 def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
@@ -229,9 +254,12 @@ def main():
             in_dir = os.path.join(in_root, name)
             if not os.path.exists(os.path.join(in_dir, 'gt_img.png')):
                 continue
-            cfg, last, _ = run_example(name, in_dir, args.out,
-                                       args.iters_scale,
-                                       search_iters=args.search_iters)
+            cfg, last, variants = run_example(
+                name, in_dir, args.out, args.iters_scale,
+                search_iters=args.search_iters,
+                color_criterion=args.color_criterion,
+                refine_protect=args.protect,
+                all_variants=args.all_variants)
             data = load_segmentation(replace(
                 cfg, datadir=os.path.join(args.out, 'detected', name)))
             oh, ow = data.orig_shape
@@ -241,6 +269,21 @@ def main():
                    'iou_refined_vs_init': round(iou(fin, init_mask), 4),
                    'frac_init': round(float(init_mask.mean()), 4),
                    'frac_refined': round(float(fin.mean()), 4)}
+            gt, band_care = load_bundled_gt(name, fin.shape)
+            if gt is not None:
+                care = data.valid_mask[..., 0][:oh, :ow] > 0.5
+                rec['iou_refined_vs_gt'] = round(iou(fin, gt, care), 4)
+                rec['iou_init_vs_gt'] = round(iou(init_mask, gt, care), 4)
+                # ±5 px GT boundary uncertainty scored as don't-care
+                rec['iou_refined_vs_gt_band5'] = round(
+                    iou(fin, gt, care & band_care), 4)
+                rec['iou_init_vs_gt_band5'] = round(
+                    iou(init_mask, gt, care & band_care), 4)
+                if variants is not None:
+                    rec['variants_iou_vs_gt'] = {
+                        k: round(iou(v['non_period_mask'][..., 0] > 0, gt,
+                                     care), 4)
+                        for k, v in variants.items()}
             records.append(rec)
             print(json.dumps(rec))
 

@@ -456,20 +456,45 @@ def main():
                                      normalize_type=cfg_i.normalize_type,
                                      compute_seam=True)
                     final['snapshot_iter'] = cfg_i.N_iters - 1
+                    milestones = []
                     if snap_best and snaps.get(pidx):
                         # cfg.comp_snapshot='best': re-render each milestone
                         # snapshot and keep the best held-out PSNR; the
-                        # final state wins ties (run_completion semantics)
+                        # final state wins ties (run_completion semantics).
+                        # Each milestone's (heldout_psnr, real-hole val_psnr)
+                        # pair is recorded in the summary — the correlation
+                        # evidence for the snapshot criterion (VERDICT r4
+                        # next #5).
                         from npp_tpu.models.heldout import heldout_psnr
                         hh, ww = ctx['canvas']
                         best = [final.get('heldout_psnr', -np.inf),
                                 None, None, None]
+                        vc = data_b.i_val
+                        gv = data_b.img[vc[:, 0], vc[:, 1]]
                         for it, params_h in snaps[pidx]:
                             pred_m = np.asarray(render(params_h, hh, ww))
                             hp = heldout_psnr(pred_m, data_b)
+                            pv = pred_m[vc[:, 0], vc[:, 1]]
+                            vp = float(-10.0 * np.log10(
+                                max(float(np.mean((pv - gv) ** 2)), 1e-12)))
+                            milestones.append({
+                                'iter': int(it),
+                                'heldout_psnr': None if hp is None
+                                else round(hp, 3),
+                                'val_psnr': round(vp, 3)})
                             if hp is not None and hp > best[0]:
                                 best = [hp, it, pred_m,
                                         params_h['adaptive_pix']]
+                        if not milestones or \
+                                milestones[-1]['iter'] != cfg_i.N_iters - 1:
+                            milestones.append({
+                                'iter': int(cfg_i.N_iters - 1),
+                                'heldout_psnr': round(float(
+                                    final['heldout_psnr']), 3)
+                                if 'heldout_psnr' in final else None,
+                                'val_psnr': round(float(final['val_psnr']),
+                                                  3)
+                                if 'val_psnr' in final else None})
                         if best[1] is not None:
                             final = compose_outputs(
                                 best[2], data_b, best[3], cfg_i.loss_type,
@@ -487,6 +512,23 @@ def main():
                         jnp.float32)[None]
                     final['val_lpips'] = float(jnp.mean(
                         percep(comp, gt, normalize=True)))
+                    if milestones:
+                        rec['milestones'] = milestones
+                    # save the SELECTED output set (run_completion's
+                    # testset_final semantics) so compare_telea.py reads
+                    # batched-suite results too
+                    from npp_tpu.utils.io import write_rgb as _wrgb
+                    d = os.path.join(
+                        cfg_i.basedir, f'{cfg_i.expname}_top{cfg_i.p_topk}',
+                        name, 'testset_final')
+                    for key in ('pred_rgb_img', 'pred_rgb_img_comp',
+                                'pred_rgb_img_comp_seam'):
+                        if key in final:
+                            _wrgb(os.path.join(d, f'{key}.png'), final[key])
+                    _wrgb(os.path.join(d, 'gt_rgb_img.png'),
+                          (data_b.img * data_b.valid_mask)[:oh, :ow])
+                    _wrgb(os.path.join(d, 'input_rgb_img.png'),
+                          (data_b.masked_img * data_b.valid_mask)[:oh, :ow])
                 elif task == 'segmentation':
                     from npp_tpu.losses.lpips import LPIPS
                     from npp_tpu.models.segmentation import (refine_segmentation,
