@@ -132,6 +132,22 @@ class BaseConfig:
                                         # acquisition through the relay).
                                         # "" = off; env NPP_TPU_AOT_CACHE
                                         # supplies a default when set
+    robust_layout: str = "nc"           # TPU-repo addition, value-identical
+                                        # layout of the adaptive-robust
+                                        # reductions (losses/pixel.py,
+                                        # losses/lpips.py): 'nc' = the
+                                        # reference's (rows, channels)
+                                        # residuals (minor dim 3/64 is
+                                        # lane-padded on TPU); 'cn' =
+                                        # transposed (channels, rows) with
+                                        # the LPIPS lin channel-sum fused in
+                                        # that layout. The round-4 MFU
+                                        # roofline names these temps'
+                                        # layout padding as a per-op lever;
+                                        # default stays 'nc' pending the
+                                        # same-session A/B
+                                        # (scripts/ab_step_phases.py arm
+                                        # 'robust_cn').
     # NOTE: a Pallas fused embed+matmul path existed through round 2 and was
     # REMOVED after hardware A/B: XLA's producer fusion of the on-the-fly
     # embedding is already optimal at these sizes (fwd+bwd 6.0 ms vs 16.5 ms

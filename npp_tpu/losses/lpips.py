@@ -88,7 +88,7 @@ class LPIPS:
                  use_robust: bool = False,
                  adaptive: Optional[Tuple[AdaptiveLossParams, ...]] = None,
                  normalize: bool = False, spatial: bool = False,
-                 ret_per_layer: bool = False):
+                 ret_per_layer: bool = False, robust_layout: str = 'nc'):
         if normalize:
             in0 = 2.0 * in0 - 1.0
             in1 = 2.0 * in1 - 1.0
@@ -105,6 +105,28 @@ class LPIPS:
                 if adaptive is None:
                     raise ValueError('use_robust requires adaptive params')
                 n, h, w, c = d.shape
+                if robust_layout == 'cn' and self.lpips:
+                    # value-identical transposed evaluation (see
+                    # losses/pixel.py img2mse layout): the per-layer robust
+                    # NLL and the lin-weighted channel sum both run on
+                    # (C, N*H*W) — lane dim is the 128-multiple row count
+                    # instead of the sometimes-64 channel count, and the
+                    # channel sum never transposes back
+                    from .robust import adaptive_alpha, adaptive_scale, nllfun
+                    x = d.reshape(-1, c).T                       # (C, NHW)
+                    a = adaptive_alpha(adaptive[kk])             # (1, C)
+                    s = adaptive_scale(adaptive[kk])
+                    lf = nllfun(x, a.T, s.T)                     # (C, NHW)
+                    m = jnp.sum(lf * self.lins[kk][:, None],
+                                axis=0).reshape(n, h, w, 1)
+                    if spatial:
+                        m = jax.image.resize(
+                            m, (m.shape[0], in0.shape[1], in0.shape[2], 1),
+                            method='bilinear')
+                    else:
+                        m = jnp.mean(m, axis=(1, 2), keepdims=True)
+                    res.append(m)
+                    continue
                 diff = adaptive_lossfun(d.reshape(-1, c), adaptive[kk])
                 diff = diff.reshape(n, h, w, c)
             else:

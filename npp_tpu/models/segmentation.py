@@ -196,8 +196,8 @@ def save_refinement(save_dir: str, i: int, data, pred: np.ndarray,
               overlay(data.img[:oh, :ow], res['non_period_mask'],
                       data.valid_mask[:oh, :ow]))
     # raw refined mask (no reference equivalent — the reference only saves
-    # the overlay): lets offline scorers (eval_segmentation_iou.py
-    # --bundled-from-suite) compute IoU without refitting
+    # the overlay): lets offline scorers compute IoU from saved artifacts
+    # without refitting
     write_gray(os.path.join(d, 'segment_mask.png'),
                (np.asarray(res['non_period_mask'])[..., 0] > 0
                 ).astype(np.float64)[:oh, :ow])

@@ -170,7 +170,8 @@ def build_loss_fn(cfg, task: TaskSpec, model,
             pix_loss = img2mse(pred_pix, gt_rgb, cfg.loss_type,
                                params['adaptive_pix'], gt_mask,
                                scale_lo=getattr(cfg, 'adaptive_scale_lo',
-                                                1e-5))
+                                                1e-5),
+                               layout=getattr(cfg, 'robust_layout', 'nc'))
             loss = loss + pix_loss
             metrics['pixel'] = pix_loss
 
@@ -210,7 +211,9 @@ def build_loss_fn(cfg, task: TaskSpec, model,
                 per = percep(pred_t * real_mask, fake_rgb * real_mask,
                              use_robust=cfg.use_adaptive_perceptual_loss,
                              adaptive=params.get('adaptive_percep'),
-                             normalize=True)
+                             normalize=True,
+                             robust_layout=getattr(cfg, 'robust_layout',
+                                                   'nc'))
                 per = per.reshape(pk)
                 if weight is not None:
                     return jnp.sum(per * weight * valid)

@@ -44,6 +44,11 @@ ARMS = [
     # f32; values drift within the CPU closeness test's bound
     # (tests/test_losses.py::test_feature_dtype_bf16_towers_close_to_f32).
     ('feat_bf16', {'feature_dtype': 'bfloat16'}),
+    # transposed (channels, rows) adaptive-robust reductions + fused LPIPS
+    # lin channel-sum — the round-4 roofline's named layout-padding lever
+    # (config.robust_layout; value-identical, CPU parity-tested in
+    # tests/test_losses.py)
+    ('robust_cn', {'robust_layout': 'cn'}),
 ]
 
 

@@ -105,6 +105,10 @@ def main():
                          'keys a task config lacks are skipped with a '
                          'note). Repeatable — tiny CPU drives / A/Bs, e.g. '
                          '--set netwidth=32 --set N_rand=64')
+    ap.add_argument('--search-only', action='store_true',
+                    help='stop after the search stage (detection + ranking '
+                         '+ odgt artifacts) — the warm_aot.py before/after '
+                         'measurement arm')
     ap.add_argument('--aot-cache', default=os.environ.get(
                         'NPP_TPU_AOT_CACHE', ''),
                     help='directory for serialized compiled executables '
@@ -238,6 +242,18 @@ def main():
                 searched[det_dir] = {
                     'search_s_batched_total': round(wall, 1),
                     'top_periods': odgt['selected_periods'][:3]}
+        if args.search_only:
+            summary['phases'] = {k: round(v, 1)
+                                 for k, v in timer.phases.items()}
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out, 'summary.json'), 'w') as f:
+                json.dump(summary, f, indent=1)
+            print(json.dumps(summary['phases']))
+            print(f'[suite] --search-only: stopped after search; wrote '
+                  f'{args.out}/summary.json')
+            return
+    elif args.search_only:
+        sys.exit('--search-only requires --batched-search')
 
     for task in args.tasks.split(','):
         in_dir, examples = list_examples(task)

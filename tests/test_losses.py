@@ -291,3 +291,42 @@ def test_build_components_consumes_feature_dtype():
     cfg32 = replace(cfg, feature_dtype='float32')
     comps32 = build_components(cfg32, data, COMPLETION_TASK)
     assert comps32.percep.module.dtype == jnp.float32
+
+
+def test_robust_layout_cn_value_identical(imgs):
+    """cfg.robust_layout='cn' (transposed robust reductions, fused LPIPS
+    lin channel-sum) is a LAYOUT knob: values must match 'nc' to float
+    tolerance for both the LPIPS robust path and the pixel loss."""
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.losses.pixel import img2mse
+    from npp_tpu.losses.robust import adaptive_init
+    a, b = imgs
+    lp = LPIPS(net='vgg')
+    ad = lp.init_adaptive()
+    v_nc = lp(a, b, use_robust=True, adaptive=ad, normalize=True)
+    v_cn = lp(a, b, use_robust=True, adaptive=ad, normalize=True,
+              robust_layout='cn')
+    np.testing.assert_allclose(np.asarray(v_cn), np.asarray(v_nc),
+                               rtol=2e-5, atol=2e-6)
+    # spatial mode too (segmentation criterion path)
+    s_nc = lp(a, b, use_robust=True, adaptive=ad, normalize=True,
+              spatial=True)
+    s_cn = lp(a, b, use_robust=True, adaptive=ad, normalize=True,
+              spatial=True, robust_layout='cn')
+    np.testing.assert_allclose(np.asarray(s_cn), np.asarray(s_nc),
+                               rtol=2e-5, atol=2e-6)
+    # pixel robust loss + its gradient wrt the latents
+    rng = np.random.RandomState(1)
+    pred = jnp.asarray(rng.rand(257, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(257, 3), jnp.float32)
+    adp = adaptive_init(3)
+
+    def f(adp, layout):
+        return img2mse(pred, gt, 'robust_loss_adaptive', adp, layout=layout)
+
+    v0, g0 = jax.value_and_grad(f)(adp, 'nc')
+    v1, g1 = jax.value_and_grad(f)(adp, 'cn')
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for x0, x1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-5, atol=1e-7)
