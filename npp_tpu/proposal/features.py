@@ -32,12 +32,26 @@ def pad_multiple_of(img: np.ndarray, multiple: int) -> np.ndarray:
 
 
 def canny_edges(img_u8: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Masked canny (reference: utils/miscs.py:22-33)."""
+    """Masked canny (reference: utils/miscs.py:22-33).
+
+    cv2.Canny runs with the optimized dispatch DISABLED: this OpenCV
+    build's SIMD Canny path has a content-dependent heap-corruption bug
+    (glibc "double free or corruption" abort) on small dense-edge inputs —
+    deterministic on a 64x80 quarter-res near-periodic synthetic, first
+    hit by scripts/eval_remapping.py. The scalar path is bit-identical on
+    every bundled example (both act2edge channels, measured) and costs ms
+    at detection resolutions. Regression: tests/test_proposal_search.py::
+    test_canny_dense_small_image_no_crash."""
     if img_u8.ndim == 3:
         img_u8 = cv2.cvtColor(img_u8, cv2.COLOR_RGB2GRAY)
     blur = cv2.GaussianBlur(img_u8, (3, 3), 0)
     m = ndimage.binary_erosion(mask, iterations=4).astype(np.float64)
-    edges = cv2.Canny(blur, 10, 100)
+    opt = cv2.useOptimized()
+    try:
+        cv2.setUseOptimized(False)
+        edges = cv2.Canny(blur, 10, 100)
+    finally:
+        cv2.setUseOptimized(opt)
     return edges * m
 
 

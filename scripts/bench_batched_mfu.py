@@ -43,6 +43,13 @@ def main():
     ap.add_argument('--control', action='store_true',
                     help='first measure the single-image blocked fit path '
                          'in-process (the session pool-slice anchor)')
+    ap.add_argument('--robust-layout', default=None, choices=['nc', 'cn'],
+                    help='override cfg.robust_layout (the round-4 roofline '
+                         'layout-padding lever; A/B arm for VERDICT r4 #4)')
+    ap.add_argument('--feature-dtype', default=None,
+                    choices=['float32', 'bfloat16'],
+                    help='override cfg.feature_dtype (loss-tower activation '
+                         'dtype)')
     a = ap.parse_args()
 
     from npp_tpu.utils.backend import wait_for_backend
@@ -60,6 +67,10 @@ def main():
         cfg = replace(cfg, embed_table=a.embed_table)
     if a.table_max_mb is not None:
         cfg = replace(cfg, embed_table_max_mb=a.table_max_mb)
+    if a.robust_layout is not None:
+        cfg = replace(cfg, robust_layout=a.robust_layout)
+    if a.feature_dtype is not None:
+        cfg = replace(cfg, feature_dtype=a.feature_dtype)
     data = bench._synthetic_data(cfg)
     dev = jax.devices()[0]
     peak = bench.peak_bf16_flops(dev.device_kind)

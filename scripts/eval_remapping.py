@@ -96,9 +96,9 @@ def unsharp(img, mask, sigma=2.0, amount=1.5):
     return out * m3 + img * (1 - m3)
 
 
-def run_arm(name, in_dir, out_root, arm, cfg_kw, iters_scale, search_iters):
-    from npp_tpu.config import RemappingConfig, SearchConfig, replace
-    from npp_tpu.models.remapping import run_remapping
+def ensure_search(name, in_dir, out_root, search_iters):
+    """Detection + ranking for one example (idempotent via the odgt)."""
+    from npp_tpu.config import SearchConfig, replace
     from npp_tpu.proposal.search import run_search
 
     det_root = os.path.join(out_root, 'detected')
@@ -108,6 +108,14 @@ def run_arm(name, in_dir, out_root, arm, cfg_kw, iters_scale, search_iters):
         if search_iters:
             scfg = replace(scfg, N_iters=search_iters)
         run_search(scfg)
+    return det_dir
+
+
+def run_arm(name, in_dir, out_root, arm, cfg_kw, iters_scale, search_iters):
+    from npp_tpu.config import RemappingConfig, replace
+    from npp_tpu.models.remapping import run_remapping
+
+    det_dir = ensure_search(name, in_dir, out_root, search_iters)
     cfg = replace(RemappingConfig(), datadir=det_dir,
                   basedir=os.path.join(out_root, 'results', arm), **cfg_kw)
     if iters_scale != 1.0:
@@ -144,7 +152,14 @@ def main():
     if args.ab_iters:
         arms.append(('iters2x', {}, args.iters_scale * 2.0))
 
-    records = []
+    # ---- phase 1: write every synthetic input, then run EVERY search,
+    # before any LPIPS/fit program executes. Mirrors run_suite's phase
+    # order (all searches first): the one session that interleaved a
+    # VGG-LPIPS eval before a search died with glibc heap corruption
+    # inside cv2.Canny (detection's host phase) on the axon relay —
+    # keeping all host-side cv2 detection work ahead of the big loss-tower
+    # programs sidesteps the interaction and reuses compiled shapes better.
+    synth_names = []
     for s in range(args.n_synth):
         name = f'synth_blur{s}'
         in_dir = os.path.join(args.out, 'input', name)
@@ -159,6 +174,26 @@ def main():
                         np.full(blurred.shape[:2], 255, np.uint8))
         np.save(os.path.join(in_dir, 'sharp_gt.npy'), sharp)
         np.save(os.path.join(in_dir, 'blur_mask.npy'), blur_mask)
+        synth_names.append((name, in_dir))
+
+    bundled = []
+    if not args.skip_bundled:
+        in_root = '/root/reference/data/remapping/input'
+        bundled = [(n, os.path.join(in_root, n))
+                   for n in sorted(os.listdir(in_root))
+                   if os.path.exists(os.path.join(in_root, n, 'gt_img.png'))]
+
+    import time as _time
+    for name, in_dir in synth_names + bundled:
+        t0 = _time.time()
+        ensure_search(name, in_dir, args.out, args.search_iters)
+        print(f'[remap-eval] search {name}: {_time.time() - t0:.1f}s',
+              file=sys.stderr, flush=True)
+
+    records = []
+    for name, in_dir in synth_names:
+        sharp = np.load(os.path.join(in_dir, 'sharp_gt.npy'))
+        blur_mask = np.load(os.path.join(in_dir, 'blur_mask.npy'))
         # quantize the input exactly as the pipeline reads it back
         inp = cv2.imread(os.path.join(in_dir, 'gt_img.png'))[..., ::-1] / 255.0
 
@@ -190,22 +225,17 @@ def main():
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    if not args.skip_bundled:
-        in_root = '/root/reference/data/remapping/input'
-        for name in sorted(os.listdir(in_root)):
-            in_dir = os.path.join(in_root, name)
-            if not os.path.exists(os.path.join(in_dir, 'gt_img.png')):
-                continue
-            rec = {'example': name}
-            for arm, kw, iscale in arms:
-                cfg, result, final = run_arm(name, in_dir, args.out, arm, kw,
-                                             iscale, args.search_iters)
-                for k in ('train_psnr', 'val_psnr', 'full_lpips',
-                          'clear_lpips'):
-                    if k in final:
-                        rec[f'{k}_{arm}'] = round(float(final[k]), 4)
-            records.append(rec)
-            print(json.dumps(rec), flush=True)
+    for name, in_dir in bundled:
+        rec = {'example': name}
+        for arm, kw, iscale in arms:
+            cfg, result, final = run_arm(name, in_dir, args.out, arm, kw,
+                                         iscale, args.search_iters)
+            for k in ('train_psnr', 'val_psnr', 'full_lpips',
+                      'clear_lpips'):
+                if k in final:
+                    rec[f'{k}_{arm}'] = round(float(final[k]), 4)
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
 
     synth = [r for r in records if r['example'].startswith('synth')]
     if synth:

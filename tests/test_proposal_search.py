@@ -134,3 +134,33 @@ def test_lattice_to_proposal_convention():
                            include_input=False)
         np.testing.assert_allclose(np.asarray(w2), np.asarray(base),
                                    atol=1e-3)
+
+
+def test_canny_dense_small_image_no_crash():
+    """This OpenCV build's SIMD Canny corrupts the heap (glibc abort) on
+    small dense-edge inputs — deterministic on this 64x80 quarter-res
+    near-periodic activation (captured from scripts/eval_remapping.py's
+    synthetic). canny_edges pins the scalar dispatch around cv2.Canny
+    (bit-identical on every bundled example, measured); run in a
+    subprocess so a regression aborts the child, not the suite."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures',
+                       'canny_dense_64x80.npy')
+    code = (
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from npp_tpu.proposal.features import canny_edges\n"
+        f"a = np.load({fix!r})\n"
+        "m = np.ones(a.shape[1:], np.float64)\n"
+        "sums = [float(canny_edges(a[c], m).sum()) for c in range(a.shape[0])]\n"
+        "assert sums[0] > 0, sums\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS='cpu', PALLAS_AXON_POOL_IPS='')
+    r = subprocess.run([_sys.executable, '-c', code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
+    assert 'ok' in r.stdout
