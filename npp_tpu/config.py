@@ -132,7 +132,7 @@ class BaseConfig:
                                         # acquisition through the relay).
                                         # "" = off; env NPP_TPU_AOT_CACHE
                                         # supplies a default when set
-    robust_layout: str = "nc"           # TPU-repo addition, value-identical
+    robust_layout: str = "auto"         # TPU-repo addition, value-identical
                                         # layout of the adaptive-robust
                                         # reductions (losses/pixel.py,
                                         # losses/lpips.py): 'nc' = the
@@ -141,13 +141,16 @@ class BaseConfig:
                                         # lane-padded on TPU); 'cn' =
                                         # transposed (channels, rows) with
                                         # the LPIPS lin channel-sum fused in
-                                        # that layout. The round-4 MFU
-                                        # roofline names these temps'
-                                        # layout padding as a per-op lever;
-                                        # default stays 'nc' pending the
-                                        # same-session A/B
-                                        # (scripts/ab_step_phases.py arm
-                                        # 'robust_cn').
+                                        # that layout. 'auto' (default) =
+                                        # the measured round-5 winner per
+                                        # path (resolve_robust_layout):
+                                        # 'cn' for single-image fit blocks
+                                        # (+9.9% same-session at flagship,
+                                        # 43.91 -> 39.95 ms/step), 'nc'
+                                        # for the batched runner (paired
+                                        # B=3 arms: cn -1.7%). Records:
+                                        # results_round5.json
+                                        # `robust_layout_ab`.
     # NOTE: a Pallas fused embed+matmul path existed through round 2 and was
     # REMOVED after hardware A/B: XLA's producer fusion of the on-the-fly
     # embedding is already optimal at these sizes (fwd+bwd 6.0 ms vs 16.5 ms
@@ -348,6 +351,18 @@ class RemappingConfig(FitConfig):
 def replace(cfg, **kwargs):
     """Functional update helper (dataclasses.replace re-export)."""
     return dataclasses.replace(cfg, **kwargs)
+
+
+def resolve_robust_layout(cfg, batched: bool) -> str:
+    """Resolve robust_layout='auto' to the measured per-path winner
+    (round-5 same-session A/Bs, results_round5.json `robust_layout_ab`):
+    'cn' for the single-image fit block (+9.9% at flagship), 'nc' for the
+    batched runner (cn measured -1.7% at paired B=3 — the transposition's
+    lane-padding win does not survive the extra images axis)."""
+    layout = getattr(cfg, 'robust_layout', 'nc')
+    if layout == 'auto':
+        return 'nc' if batched else 'cn'
+    return layout
 
 
 def nerf_embed_dim(cfg: BaseConfig, input_dims: int, include_input: bool = True) -> int:

@@ -246,6 +246,8 @@ def make_fit_step_core(cfg, task: TaskSpec, model, embedder,
                        consts: FitConsts, percep, contextual, style, tx,
                        patch_num: int, patch_size: int):
     """Un-jitted single step (state, rng) -> (state, metrics)."""
+    from ..config import replace as _replace, resolve_robust_layout
+    cfg = _replace(cfg, robust_layout=resolve_robust_layout(cfg, False))
     loss_fn = build_loss_fn(cfg, task, model, percep, contextual, style,
                             patch_num, patch_size)
 

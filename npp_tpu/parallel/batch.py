@@ -86,6 +86,8 @@ def make_batched_fit_step(cfg, task: TaskSpec, model, percep, contextual,
     state leaves carry a leading batch axis B (divisible by the mesh axis
     size when a mesh is given).
     """
+    from ..config import replace as _replace, resolve_robust_layout
+    cfg = _replace(cfg, robust_layout=resolve_robust_layout(cfg, True))
     loss_fn = build_loss_fn(cfg, task, model, percep, contextual, style,
                             patch_num, patch_size)
 

@@ -48,7 +48,14 @@ ARMS = [
     # lin channel-sum — the round-4 roofline's named layout-padding lever
     # (config.robust_layout; value-identical, CPU parity-tested in
     # tests/test_losses.py)
+    # NOTE since the round-5 adoption, default robust_layout='auto'
+    # resolves to 'cn' on this single-image path — 'full' already includes
+    # the transposed layout; 'robust_nc' isolates the pre-adoption layout.
     ('robust_cn', {'robust_layout': 'cn'}),
+    ('robust_nc', {'robust_layout': 'nc'}),
+    # composition of the two measured round-5 winners (robust_cn +9.9%,
+    # feat_bf16 +14.7% same-session at flagship): are the savings additive?
+    ('cn_bf16', {'robust_layout': 'cn', 'feature_dtype': 'bfloat16'}),
 ]
 
 

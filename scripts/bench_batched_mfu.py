@@ -46,6 +46,9 @@ def main():
     ap.add_argument('--robust-layout', default=None, choices=['nc', 'cn'],
                     help='override cfg.robust_layout (the round-4 roofline '
                          'layout-padding lever; A/B arm for VERDICT r4 #4)')
+    ap.add_argument('--ab-robust-layout', action='store_true',
+                    help='measure BOTH robust_layout arms (nc, cn) per B in '
+                         'THIS process — paired-arm, same pool slice')
     ap.add_argument('--feature-dtype', default=None,
                     choices=['float32', 'bfloat16'],
                     help='override cfg.feature_dtype (loss-tower activation '
@@ -118,32 +121,39 @@ def main():
               file=sys.stderr, flush=True)
 
     mesh = make_mesh(('images',), (1,), devices=jax.devices()[:1])
+    layouts = ['nc', 'cn'] if a.ab_robust_layout else [None]
     rows = []
     for b in [int(x) for x in a.batch_sizes.split(',')]:
         datas = [data] * b
-        try:
-            t0 = time.time()
-            fit_images(cfg, COMPLETION_TASK, datas, n_iters=a.warmup_iters,
-                       mesh=mesh, canvas_multiple=64, block=a.warmup_iters)
-            warm_s = time.time() - t0
-            print(f'[mfu] B={b} warmup(compile/load) {warm_s:.1f}s',
-                  file=sys.stderr, flush=True)
-            t0 = time.time()
-            fit_images(cfg, COMPLETION_TASK, datas, n_iters=a.iters,
-                       mesh=mesh, canvas_multiple=64, block=50)
-            wall = time.time() - t0
-        except Exception as e:
-            print(f'[mfu] B={b} FAILED: {e!r}', file=sys.stderr, flush=True)
-            rows.append({'B': b, 'error': repr(e)})
-            continue
-        agg_ips = b * a.iters / wall
-        achieved = agg_ips * flops_step
-        row = {'B': b, 'wall_s': round(wall, 1),
-               'aggregate_image_iters_per_sec': round(agg_ips, 2),
-               'achieved_tflops': round(achieved / 1e12, 2),
-               'mfu': round(achieved / peak, 4)}
-        rows.append(row)
-        print(f'[mfu] {row}', file=sys.stderr, flush=True)
+        for layout in layouts:
+            run_cfg = replace(cfg, robust_layout=layout) if layout else cfg
+            try:
+                t0 = time.time()
+                fit_images(run_cfg, COMPLETION_TASK, datas,
+                           n_iters=a.warmup_iters, mesh=mesh,
+                           canvas_multiple=64, block=a.warmup_iters)
+                warm_s = time.time() - t0
+                print(f'[mfu] B={b} layout={layout} warmup(compile/load) '
+                      f'{warm_s:.1f}s', file=sys.stderr, flush=True)
+                t0 = time.time()
+                fit_images(run_cfg, COMPLETION_TASK, datas, n_iters=a.iters,
+                           mesh=mesh, canvas_multiple=64, block=50)
+                wall = time.time() - t0
+            except Exception as e:
+                print(f'[mfu] B={b} FAILED: {e!r}', file=sys.stderr,
+                      flush=True)
+                rows.append({'B': b, 'error': repr(e)})
+                continue
+            agg_ips = b * a.iters / wall
+            achieved = agg_ips * flops_step
+            row = {'B': b, 'wall_s': round(wall, 1),
+                   'aggregate_image_iters_per_sec': round(agg_ips, 2),
+                   'achieved_tflops': round(achieved / 1e12, 2),
+                   'mfu': round(achieved / peak, 4)}
+            if layout:
+                row['robust_layout'] = layout
+            rows.append(row)
+            print(f'[mfu] {row}', file=sys.stderr, flush=True)
 
     print(json.dumps({'iters': a.iters, 'device': dev.device_kind,
                       'control_single_image_iters_per_sec': control,

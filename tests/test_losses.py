@@ -330,3 +330,19 @@ def test_robust_layout_cn_value_identical(imgs):
     for x0, x1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_resolve_robust_layout_auto():
+    """'auto' maps to the measured per-path winners (round-5 A/B,
+    results_round5.json robust_layout_ab): cn single-image, nc batched;
+    explicit values pass through."""
+    from npp_tpu.config import CompletionConfig, replace, \
+        resolve_robust_layout
+    cfg = CompletionConfig()
+    assert cfg.robust_layout == 'auto'
+    assert resolve_robust_layout(cfg, batched=False) == 'cn'
+    assert resolve_robust_layout(cfg, batched=True) == 'nc'
+    for explicit in ('nc', 'cn'):
+        c = replace(cfg, robust_layout=explicit)
+        assert resolve_robust_layout(c, batched=False) == explicit
+        assert resolve_robust_layout(c, batched=True) == explicit
