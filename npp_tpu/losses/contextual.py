@@ -162,6 +162,18 @@ class ContextualLoss:
                                   imagenet_normalize(x))[self.vgg_layer]
             y = self.module.apply({'params': self.params},
                                   imagenet_normalize(y))[self.vgg_layer]
+            # The similarity chain (cosine distance -> relative distance ->
+            # softmax) always runs in f32, whatever cfg.feature_dtype set
+            # for the tower: bf16's 8-bit mantissa quantizes the relative
+            # distances around the softmax's operating point and distorts
+            # the GRADIENT (measured 5.6x grad-norm inflation at flagship
+            # patch scales while the VALUE stayed within 9% — the round-5
+            # feat_bf16 quality A/Bs were dominated by this, not by dtype
+            # noise). The tower convs are the HBM-bound part; the chain's
+            # f32 cost is minor. Regression:
+            # tests/test_losses.py::test_feature_dtype_bf16_grad_close.
+            x = x.astype(jnp.float32)
+            y = y.astype(jnp.float32)
         feat_valid = None
         if spatial_mask is not None:
             n, fh, fw = x.shape[0], x.shape[1], x.shape[2]

@@ -55,9 +55,21 @@ def build_components(cfg, data: TaskData, task: TaskSpec) -> Components:
     # halves the HBM traffic of the loss towers' f32[N,160,160,C] temps,
     # the dominant non-MXU phase in the round-4 MFU roofline; default
     # float32 is the reference-faithful path.
+    #
+    # The CONTEXTUAL tower is exempt and always runs f32: CX is a
+    # softmax-over-match-distances objective, and bf16-quantized features
+    # reshuffle the matches — measured round 5 at flagship patch scales,
+    # the bf16 CX gradient's cosine similarity to the f32 gradient is
+    # 0.15 (norm first 5.6x high, 0.41x after keeping the similarity
+    # chain f32) while the VALUE stays within 9%. A lever that redirects
+    # the training signal is not a dtype optimization; the two TPU fit
+    # A/Bs that showed +3.3/+5.2 dB "wins" were this effect
+    # (results_round5.json `feat_bf16_quality`). LPIPS and style grads
+    # track f32 within 1% (smooth normalize/Gram reductions, no match
+    # competition), so bf16 stays available for them.
     fdt = jnp.bfloat16 if cfg.feature_dtype == 'bfloat16' else jnp.float32
     percep = LPIPS(net='vgg', dtype=fdt) if cfg.use_perceptual_loss else None
-    contextual = ContextualLoss(use_vgg=True, dtype=fdt) \
+    contextual = ContextualLoss(use_vgg=True, dtype=jnp.float32) \
         if cfg.use_contextual_loss else None
     style = StyleLoss(use_adaptive=getattr(cfg, 'use_adaptive_style_loss', False),
                       dtype=fdt) \

@@ -287,10 +287,45 @@ def test_build_components_consumes_feature_dtype():
                   feature_dtype='bfloat16')
     comps = build_components(cfg, data, COMPLETION_TASK)
     assert comps.percep.module.dtype == jnp.bfloat16
-    assert comps.contextual.module.dtype == jnp.bfloat16
+    # the CX tower is EXEMPT from feature_dtype (round 5): bf16-quantized
+    # features reshuffle the softmax matches — measured grad cosine 0.15
+    # vs f32 at flagship patch scales (models/pipeline.py comment,
+    # results_round5.json feat_bf16_quality). CX always runs f32.
+    assert comps.contextual.module.dtype == jnp.float32
     cfg32 = replace(cfg, feature_dtype='float32')
     comps32 = build_components(cfg32, data, COMPLETION_TASK)
     assert comps32.percep.module.dtype == jnp.float32
+
+
+def test_feature_dtype_bf16_grad_direction():
+    """Gradient-level safety of the feature_dtype lever (the round-5
+    finding: VALUE closeness does not imply GRADIENT closeness for
+    match-competition losses). LPIPS bf16 must track the f32 training
+    signal (direction + magnitude); the CX bf16 tower demonstrably does
+    not — which is why build_components exempts it (see
+    test_build_components_consumes_feature_dtype)."""
+    import jax
+    from npp_tpu.losses.lpips import LPIPS
+
+    rng = np.random.RandomState(7)
+    yy, xx = np.mgrid[:96, :96].astype(np.float64)
+    base = 0.5 + 0.2 * np.sin(2 * np.pi * xx / 11)[..., None] \
+        + 0.15 * np.sin(2 * np.pi * yy / 9)[..., None]
+    a = np.clip(base + rng.rand(96, 96, 3) * 0.1, 0, 1)[None]
+    b = np.clip(np.roll(base, 3, 1) + rng.rand(96, 96, 3) * 0.1, 0, 1)[None]
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+
+    def grad_of(fn):
+        g = jax.grad(lambda x: jnp.sum(fn(x, b, normalize=True)))(a)
+        return np.asarray(g, np.float64).ravel()
+
+    g32 = grad_of(LPIPS(net='vgg', dtype=jnp.float32))
+    g16 = grad_of(LPIPS(net='vgg', dtype=jnp.bfloat16))
+    cos = g32 @ g16 / (np.linalg.norm(g32) * np.linalg.norm(g16))
+    ratio = np.linalg.norm(g16) / np.linalg.norm(g32)
+    assert cos > 0.98, cos
+    assert 0.8 < ratio < 1.25, ratio
 
 
 def test_robust_layout_cn_value_identical(imgs):
