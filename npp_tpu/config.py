@@ -329,11 +329,36 @@ class SegmentationConfig(FitConfig):
     # the reference thresholds. Separates boundary erosion (error just
     # under thresh) from init-overshoot removal (error far under).
     seg_refine_hysteresis: float = 1.0
+    # TPU-repo addition (default off = reference behaviour): texture-
+    # energy cue for smooth non-periodic regions. The render-error
+    # criteria cannot see a SMOOTH anomaly (the INR renders flat content
+    # trivially well — measured on the bundled 9f80de08 patch-plate,
+    # refined IoU vs GT 0.10-0.15 across every error-criterion variant,
+    # BASELINE round-5 segmentation subsection). The cue marks valid
+    # pixels whose local grayscale std (window seg_texture_window) falls
+    # below seg_texture_beta x the 25th percentile of the PERIODIC
+    # region's local std as non-periodic — additive only, it never
+    # removes evidence (models/segmentation.py::refine_segmentation).
+    seg_texture_criterion: bool = False
+    seg_texture_beta: float = 0.5
+    seg_texture_window: int = 9
 
 
 @dataclass(frozen=True)
 class RemappingConfig(FitConfig):
     """reference: options/arg_config.py:231-300."""
+
+    # TPU-repo addition (default on; healthy runs bit-identical): if the
+    # FINAL eval's train_psnr sits more than remap_guard_db below the
+    # best milestone's, return the best-milestone snapshot instead — the
+    # adaptive-robust scale can nondeterministically collapse the fit
+    # late in the schedule (measured round 5: healthy 30.8 dB at iter
+    # 2000 -> degenerate 5.4 dB at 2400 on a trajectory that fit cleanly
+    # in another session; the alternative adaptive_scale_lo=0.01 floor
+    # prevents it but costs ~1 dB on healthy fits —
+    # results_round5.json `remapping_stability`).
+    remap_guard: bool = True
+    remap_guard_db: float = 10.0
 
     expname: str = "remapping"
     use_perceptual_loss: bool = False     # store_true in reference (:274)

@@ -75,11 +75,31 @@ def run_remapping(cfg, save: bool = True):
                    data.extra['clear_mask'][:oh, :ow])
 
     evals = {}
+    # Collapse guard (cfg.remap_guard, default on): the adaptive-robust
+    # scale can nondeterministically drive the fit off a cliff late in
+    # the schedule (measured round 5 on a synthetic: healthy 30.8 dB at
+    # iter 2000, degenerate 5.4 dB at 2400, loss stuck — the same config
+    # + data fit cleanly in another session; an adaptive_scale_lo=0.01
+    # floor prevents it but costs ~1 dB on HEALTHY fits, floor 0.003
+    # does not prevent it — results_round5.json `remapping_stability`).
+    # Instead keep a host copy of the best-train_psnr milestone params;
+    # if the final eval sits > remap_guard_db below that best, return
+    # the best milestone instead. Healthy runs are bit-identical (the
+    # guard never triggers); only a demonstrably collapsed fit diverges
+    # from reference behaviour — by recovering what the reference
+    # schedule intended to produce.
+    best = {'psnr': -np.inf, 'iter': None, 'params': None}
+    guard_on = bool(getattr(cfg, 'remap_guard', True))
 
     def eval_hook(i: int, state: FitState, render):
         res = evaluate(data, state.params, render,
                        state.params['adaptive_pix'], cfg.loss_type)
         evals[i] = {k: v for k, v in res.items() if np.isscalar(v)}
+        tp = float(res.get('train_psnr', float('nan')))
+        if guard_on and np.isfinite(tp) and tp > best['psnr']:
+            import jax
+            best.update(psnr=tp, iter=i,
+                        params=jax.device_get(state.params))
         print(f"[remapping] eval@{i}: "
               f"train_psnr={res.get('train_psnr', float('nan')):.2f} "
               f"val_psnr={res.get('val_psnr', float('nan')):.2f}")
@@ -97,4 +117,19 @@ def run_remapping(cfg, save: bool = True):
     final = evaluate(data, result.state.params, result.render,
                      result.state.params['adaptive_pix'], cfg.loss_type,
                      percep=LPIPS(net='vgg'))
+    guard_db = float(getattr(cfg, 'remap_guard_db', 10.0))
+    if (guard_on and best['params'] is not None and
+            float(final.get('train_psnr', np.inf)) < best['psnr'] - guard_db):
+        import jax.numpy as jnp
+        import jax
+        print(f"[remapping] COLLAPSE GUARD: final train_psnr "
+              f"{float(final.get('train_psnr', float('nan'))):.2f} is "
+              f">{guard_db:.0f} dB under the best milestone "
+              f"({best['psnr']:.2f} @ iter {best['iter']}); returning the "
+              f"best-milestone snapshot", flush=True)
+        params = jax.tree.map(jnp.asarray, best['params'])
+        final = evaluate(data, params, result.render,
+                         params['adaptive_pix'], cfg.loss_type,
+                         percep=LPIPS(net='vgg'))
+        final['collapse_guard_iter'] = float(best['iter'])
     return result, final, evals

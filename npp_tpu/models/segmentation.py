@@ -133,6 +133,27 @@ def refine_segmentation(cfg, data, pred_img: np.ndarray,
             else non_period_final + np_i
 
     non_period_final = non_period_final > 0
+    if getattr(cfg, 'seg_texture_criterion', False):
+        # Texture-energy cue (cfg-gated, default off = reference
+        # behaviour): the render-error criteria cannot flag SMOOTH
+        # anomalies — the INR renders flat content trivially well, so a
+        # smooth non-periodic region (the bundled 9f80de08 patch-plate)
+        # passes both error criteria under every variant. Mark valid
+        # pixels whose local texture energy (grayscale std over a
+        # seg_texture_window box) sits far below the PERIODIC region's
+        # own low quantile as non-periodic. Additive only: the cue can
+        # keep/add evidence, never remove it, so error-criterion
+        # behaviour elsewhere is untouched.
+        win = int(getattr(cfg, 'seg_texture_window', 9))
+        beta = float(getattr(cfg, 'seg_texture_beta', 0.5))
+        g = blur_gray[..., 0]
+        mean = ndimage.uniform_filter(g, win)
+        sq = ndimage.uniform_filter(g * g, win)
+        energy = np.sqrt(np.maximum(sq - mean * mean, 0.0))
+        if periodic_ref.any():
+            thr = beta * float(np.percentile(energy[periodic_ref], 25))
+            non_period_final = non_period_final | (
+                (energy < thr) & (valid[..., 0] > 0.5))
     if getattr(cfg, 'seg_refine_protect', False):
         # Anti-erosion guard (cfg-gated, default off = reference
         # behaviour). The reference refinement shrinks blobs at their

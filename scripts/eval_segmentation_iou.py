@@ -159,7 +159,11 @@ def run_example(name, in_dir, out_root, iters_scale, search_iters=None,
             for vname, kw in (('', {}),
                               ('+protect', {'seg_refine_protect': True}),
                               ('+hyst.5', {'seg_refine_hysteresis': 0.5}),
-                              ('+hyst.7', {'seg_refine_hysteresis': 0.7})):
+                              ('+hyst.7', {'seg_refine_hysteresis': 0.7}),
+                              ('+tex', {'seg_texture_criterion': True}),
+                              ('+tex+hyst.5',
+                               {'seg_texture_criterion': True,
+                                'seg_refine_hysteresis': 0.5})):
                 base = dict(seg_color_criterion=col,
                             seg_refine_protect=False,
                             seg_refine_hysteresis=1.0)

@@ -87,6 +87,12 @@ def main():
                     help='segmentation refinement removal hysteresis '
                          '(cfg.seg_refine_hysteresis; 1.0 = reference '
                          'behaviour, 0.5 = measured round-3 best)')
+    ap.add_argument('--seg-texture-criterion', default=None,
+                    choices=['on', 'off'],
+                    help='texture-energy cue for smooth non-periodic '
+                         'regions (cfg.seg_texture_criterion) — with color+'
+                         'hyst.5 the only variant beating the coarse init '
+                         'on ALL six GT examples (round 5, BASELINE.md)')
     ap.add_argument('--preset', default=None, choices=['quality'],
                     help="'quality' = the measured round-3 configuration "
                          'that beats TELEA on hole PSNR AND LPIPS on 5/5 '
@@ -124,6 +130,9 @@ def main():
                                     else 'off')
     if args.seg_hysteresis is None:
         args.seg_hysteresis = 0.5 if args.preset == 'quality' else 1.0
+    if args.seg_texture_criterion is None:
+        args.seg_texture_criterion = ('on' if args.preset == 'quality'
+                                      else 'off')
     if args.comp_heldout is None:
         args.comp_heldout = 2 if args.preset == 'quality' else 0
     if args.comp_snapshot is None:
@@ -152,6 +161,8 @@ def main():
                            'comp_heldout': args.comp_heldout,
                            'comp_snapshot': args.comp_snapshot,
                            'seg_color_criterion': args.seg_color_criterion,
+                           'seg_texture_criterion':
+                               args.seg_texture_criterion,
                            'seg_hysteresis': args.seg_hysteresis,
                            'rank_proxy': args.rank_proxy,
                            'aux_gate_ratio': args.aux_gate_ratio}}
@@ -295,6 +306,7 @@ def main():
                 cfg = replace(
                     cfg,
                     seg_color_criterion=args.seg_color_criterion == 'on',
+                    seg_texture_criterion=args.seg_texture_criterion == 'on',
                     seg_refine_hysteresis=args.seg_hysteresis)
             scale = args.iters_scale
             if quality_scale and task == 'completion':

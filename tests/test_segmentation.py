@@ -311,3 +311,58 @@ def test_refine_hysteresis_separates_erosion_from_overshoot():
         replace(cfg, seg_refine_hysteresis=1.0), data, pred, lp)
     np.testing.assert_array_equal(res_ref['non_period_mask'],
                                   res_one['non_period_mask'])
+
+
+def test_texture_criterion_flags_smooth_region_off_path_identical():
+    """cfg.seg_texture_criterion (round-5 gated option): a SMOOTH
+    non-periodic region passes both render-error criteria (the INR
+    renders flat content trivially well — the bundled 9f80de08
+    patch-plate), so only the texture-energy cue can flag it. The cue is
+    additive only and off by default (bit-identical reference path)."""
+    import numpy as np
+    from npp_tpu.models.loaders import TaskData
+    from npp_tpu.models.segmentation import refine_segmentation
+    from npp_tpu.losses.lpips import LPIPS
+    from npp_tpu.config import SegmentationConfig, replace
+
+    rng = np.random.RandomState(5)
+    h, w = 128, 128
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    # textured periodic background (period 8, strong local std)
+    blur = (0.5 + 0.2 * np.sin(2 * np.pi * xx / 8)
+            + 0.15 * np.sin(2 * np.pi * yy / 8))[..., None] \
+        * np.ones(3) + rng.rand(h, w, 3) * 0.02
+    # smooth plate: constant patch, rendered PERFECTLY by the fit
+    plate = np.zeros((h, w), bool)
+    plate[40:90, 50:110] = True
+    blur[plate] = 0.55
+    pred = blur.copy()   # zero render error everywhere -> criteria see nothing
+    non_period = np.zeros((h, w, 1))   # init missed the plate entirely
+    data = TaskData(img=blur, masked_img=blur, mask=np.ones((h, w, 1)),
+                    valid_mask=np.ones((h, w, 1)),
+                    i_train=np.zeros((1, 2), int), i_val=np.zeros((1, 2), int),
+                    selected_shifts=[], selected_angles=[],
+                    selected_periods=[], patch_size=16,
+                    extra={'blur_img': blur, 'non_period_mask': non_period})
+    lp = LPIPS(net='alex')
+    cfg = replace(SegmentationConfig(), seg_autocal='off')
+    res_ref = refine_segmentation(cfg, data, pred, lp)
+    res_tex = refine_segmentation(
+        replace(cfg, seg_texture_criterion=True), data, pred, lp)
+    ref_mask = res_ref['non_period_mask'][..., 0] > 0
+    tex_mask = res_tex['non_period_mask'][..., 0] > 0
+    # reference criteria: blind to the smooth plate
+    assert ref_mask[plate].mean() < 0.05
+    # texture cue: flags the plate interior (window-eroded margin allowed)
+    core = np.zeros((h, w), bool)
+    core[46:84, 56:104] = True
+    assert tex_mask[core].mean() > 0.9
+    # additive only: periodic texture away from the plate stays periodic
+    far = ~plate
+    far[30:100, 40:120] = False
+    assert tex_mask[far].mean() < 0.05
+    # off-path bit-identical
+    res_off = refine_segmentation(
+        replace(cfg, seg_texture_criterion=False), data, pred, lp)
+    np.testing.assert_array_equal(res_ref['non_period_mask'],
+                                  res_off['non_period_mask'])
