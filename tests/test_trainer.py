@@ -221,3 +221,61 @@ def test_no_pix_loss_flag():
     data = tiny_data()
     state, _, comps = run_steps(cfg, COMPLETION_TASK, data, n=2)
     assert int(state.step) == 2
+
+
+def test_remap_collapse_guard_returns_best_milestone(monkeypatch):
+    """cfg.remap_guard (round-5 gated stability fix, default on): when the
+    FINAL eval sits >remap_guard_db below the best milestone (the measured
+    nondeterministic adaptive-scale collapse, results_round5.json
+    `remapping_stability`), run_remapping returns the best-milestone
+    snapshot; healthy finals are returned untouched."""
+    import types
+    import numpy as np
+    from npp_tpu.config import RemappingConfig, replace
+    from npp_tpu.models import remapping as R
+
+    def fake_load(cfg):
+        return types.SimpleNamespace(
+            img=np.zeros((4, 4, 3)), valid_mask=np.ones((4, 4, 1)),
+            orig_shape=(4, 4), extra={'clear_mask': np.ones((4, 4, 1))})
+
+    def fake_evaluate(data, params, render, adaptive, loss_type,
+                      percep=None):
+        return {'train_psnr': float(params['psnr']),
+                'val_psnr': float(params['psnr']),
+                'pred_rgb_img': np.zeros((4, 4, 3))}
+
+    trajectory = {'collapse': [(400, 20.0), (800, 30.0), (1200, 5.0)],
+                  'healthy': [(400, 20.0), (800, 30.0), (1200, 31.0)]}
+
+    def make_fit(traj):
+        def fake_fit(cfg, task, data, eval_hook=None, log_every=None):
+            st = None
+            for it, psnr in traj:
+                st = types.SimpleNamespace(
+                    params={'psnr': np.float64(psnr),
+                            'adaptive_pix': np.zeros(1)})
+                eval_hook(it, st, render=None)
+            return types.SimpleNamespace(state=st, render=None,
+                                         iters_per_sec=1.0)
+        return fake_fit
+
+    monkeypatch.setattr(R, 'load_remapping', fake_load)
+    monkeypatch.setattr(R, 'evaluate', fake_evaluate)
+    cfg = replace(RemappingConfig(), datadir='/tmp/x', basedir='/tmp/y')
+
+    monkeypatch.setattr(R, 'fit_image', make_fit(trajectory['collapse']))
+    _, final, _ = R.run_remapping(cfg, save=False)
+    assert final['train_psnr'] == 30.0          # best milestone restored
+    assert final['collapse_guard_iter'] == 800.0
+
+    monkeypatch.setattr(R, 'fit_image', make_fit(trajectory['healthy']))
+    _, final, _ = R.run_remapping(cfg, save=False)
+    assert final['train_psnr'] == 31.0          # untouched
+    assert 'collapse_guard_iter' not in final
+
+    # guard off = reference behaviour: the collapsed final is returned
+    monkeypatch.setattr(R, 'fit_image', make_fit(trajectory['collapse']))
+    _, final, _ = R.run_remapping(replace(cfg, remap_guard=False),
+                                  save=False)
+    assert final['train_psnr'] == 5.0
